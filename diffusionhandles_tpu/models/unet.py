@@ -1,0 +1,468 @@
+"""Depth-conditioned Stable Diffusion 2 U-Net in Flax (NHWC, TPU-native).
+
+Functional re-design of the reference's forked diffusers U-Net
+(reference: diffhandles/model/unet_2d_condition.py) — where the reference
+threads `save_activations` / `save_attentions` flags through every block to
+smuggle intermediate tensors out of a stateful forward, this U-Net simply
+*returns* them: `__call__` yields `(eps, activations, attn_probs)` where
+`activations` are the hidden states after each of the three cross-attention
+up-blocks (reference capture points: unet_2d_condition.py:1146-1161; for the
+SD-2-depth configuration these are [B,32,32,1280], [B,64,64,640],
+[B,64,64,320]) and `attn_probs` (optional) are the cross-attention
+probability maps (reference: attention_processor.py:1234-1262).
+
+Layout is NHWC throughout (TPU convs want channels-last); weights convert
+from the HF torch checkpoint via models/weights.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diffusionhandles_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD-2-depth defaults (HF stabilityai/stable-diffusion-2-depth unet).
+
+    in_channels=5 = 4 latent channels + 1 depth channel
+    (reference: guided_stable_diffuser.py:193,219).
+    """
+
+    sample_size: int = 64
+    in_channels: int = 5
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D", "DownBlock2D")
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D")
+    layers_per_block: int = 2
+    # diffusers' `attention_head_dim` for SD2 actually stores the number of
+    # heads per block (head dim is channels // heads = 64 everywhere).
+    num_heads: Tuple[int, ...] = (5, 10, 20, 20)
+    cross_attention_dim: int = 1024
+    use_linear_projection: bool = True
+    norm_num_groups: int = 32
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    remat: bool = False
+
+
+def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
+                       freq_shift: float = 0.0, max_period: int = 10000):
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(
+        half, dtype=jnp.float32) / (half - freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos],
+                           axis=-1)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=jnp.float32, param_dtype=self.param_dtype,
+                         name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     param_dtype=self.param_dtype,
+                     name="time_emb_proj")(nn.silu(temb).astype(self.dtype))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=jnp.float32, param_dtype=self.param_dtype,
+                         name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="conv_shortcut")(residual)
+        return h + residual
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None."""
+
+    num_heads: int
+    head_dim: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, capture_probs: bool = False):
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        dense = lambda feats, name, bias: nn.Dense(
+            feats, use_bias=bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        q = dense(inner, "to_q", False)(x)
+        k = dense(inner, "to_k", False)(context)
+        v = dense(inner, "to_v", False)(context)
+        b, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.num_heads, self.head_dim)
+        k = k.reshape(b, sk, self.num_heads, self.head_dim)
+        v = v.reshape(b, sk, self.num_heads, self.head_dim)
+        if capture_probs:
+            out, probs = dot_product_attention(q, k, v, return_probs=True)
+        else:
+            out = dot_product_attention(q, k, v)
+            probs = None
+        out = out.reshape(b, sq, inner)
+        out = dense(x.shape[-1], "to_out", True)(out)
+        return out, probs
+
+
+class TransformerBlock(nn.Module):
+    """BasicTransformerBlock: self-attn -> cross-attn -> GEGLU FF."""
+
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, capture_probs: bool = False):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                       param_dtype=self.param_dtype, name=name)
+        attn = lambda name: CrossAttention(
+            self.num_heads, self.head_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        h, _ = attn("attn1")(ln("norm1")(x).astype(self.dtype))
+        x = x + h
+        h, probs = attn("attn2")(ln("norm2")(x).astype(self.dtype), context,
+                                 capture_probs=capture_probs)
+        x = x + h
+        # GEGLU feed-forward.
+        d = x.shape[-1]
+        h = ln("norm3")(x).astype(self.dtype)
+        h = nn.Dense(d * 8, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="ff_proj")(h)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        h = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="ff_out")(h)
+        return x + h, probs
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> (linear) proj -> block -> proj -> +res."""
+
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: int
+    use_linear_projection: bool = True
+    groups: int = 32
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, capture_probs: bool = False):
+        b, h, w, c = x.shape
+        residual = x
+        hidden = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                              dtype=jnp.float32, param_dtype=self.param_dtype,
+                              name="norm")(x).astype(self.dtype)
+        hidden = hidden.reshape(b, h * w, c)
+        if self.use_linear_projection:
+            hidden = nn.Dense(c, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="proj_in")(hidden)
+        else:
+            hidden = hidden.reshape(b, h, w, c)
+            hidden = nn.Conv(c, (1, 1), dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="proj_in")(hidden)
+            hidden = hidden.reshape(b, h * w, c)
+        hidden, probs = TransformerBlock(
+            self.num_heads, self.head_dim, self.cross_attention_dim,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="block0")(hidden, context, capture_probs=capture_probs)
+        if self.use_linear_projection:
+            hidden = nn.Dense(c, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="proj_out")(hidden)
+            hidden = hidden.reshape(b, h, w, c)
+        else:
+            hidden = hidden.reshape(b, h, w, c)
+            hidden = nn.Conv(c, (1, 1), dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="proj_out")(hidden)
+        return hidden + residual, probs
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=1,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="conv")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="conv")(x)
+
+
+class DownBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_downsample: bool
+    num_heads: int = 0            # 0 => plain DownBlock2D (no attention)
+    cross_attention_dim: int = 1024
+    use_linear_projection: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context, capture_probs: bool = False):
+        skips = []
+        probs = []
+        for i in range(self.num_layers):
+            x = ResnetBlock(self.out_channels, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name=f"resnets_{i}")(x, temb)
+            if self.num_heads:
+                x, p = Transformer2D(
+                    self.num_heads, self.out_channels // self.num_heads,
+                    self.cross_attention_dim,
+                    use_linear_projection=self.use_linear_projection,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"attentions_{i}")(x, context,
+                                            capture_probs=capture_probs)
+                probs.append(p)
+            skips.append(x)
+        if self.add_downsample:
+            x = Downsample(self.out_channels, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           name="downsamplers_0")(x)
+            skips.append(x)
+        return x, skips, probs
+
+
+class UpBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_upsample: bool
+    num_heads: int = 0            # 0 => plain UpBlock2D
+    cross_attention_dim: int = 1024
+    use_linear_projection: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, temb, context, capture_probs: bool = False):
+        probs = []
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
+            x = ResnetBlock(self.out_channels, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name=f"resnets_{i}")(x, temb)
+            if self.num_heads:
+                x, p = Transformer2D(
+                    self.num_heads, self.out_channels // self.num_heads,
+                    self.cross_attention_dim,
+                    use_linear_projection=self.use_linear_projection,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"attentions_{i}")(x, context,
+                                            capture_probs=capture_probs)
+                probs.append(p)
+        if self.add_upsample:
+            x = Upsample(self.out_channels, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         name="upsamplers_0")(x)
+        return x, probs
+
+
+class MidBlock(nn.Module):
+    channels: int
+    num_heads: int
+    cross_attention_dim: int = 1024
+    use_linear_projection: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context, capture_probs: bool = False):
+        x = ResnetBlock(self.channels, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="resnets_0")(x, temb)
+        x, probs = Transformer2D(
+            self.num_heads, self.channels // self.num_heads,
+            self.cross_attention_dim,
+            use_linear_projection=self.use_linear_projection,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="attentions_0")(x, context, capture_probs=capture_probs)
+        x = ResnetBlock(self.channels, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="resnets_1")(x, temb)
+        return x, [probs]
+
+
+class UNet2DCondition(nn.Module):
+    """The denoising U-Net. Inputs NHWC; returns (eps, activations, attn)."""
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 capture_attention: bool = False):
+        """Args:
+          sample: [B, H, W, C_in] latent (+ depth channel) in compute dtype.
+          timesteps: scalar or [B] training timestep(s).
+          encoder_hidden_states: [B, 77, cross_attention_dim] text context.
+          capture_attention: also return cross-attn probability maps
+            (parity with reference `save_attentions`).
+
+        Returns:
+          eps: [B, H, W, out_channels] (float32)
+          activations: tuple of 3 decoder hidden states (after each
+            cross-attn up block, upsampler included) — float32.
+          attn: dict with 'down', 'mid', 'up' lists of prob maps, or None.
+        """
+        cfg = self.config
+        dtype = cfg.dtype
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        temb = timestep_embedding(timesteps, cfg.block_out_channels[0],
+                                  cfg.flip_sin_to_cos, cfg.freq_shift)
+        time_dim = cfg.block_out_channels[0] * 4
+        temb = nn.Dense(time_dim, dtype=dtype, param_dtype=cfg.param_dtype,
+                        name="time_embedding_linear_1")(temb.astype(dtype))
+        temb = nn.Dense(time_dim, dtype=dtype, param_dtype=cfg.param_dtype,
+                        name="time_embedding_linear_2")(nn.silu(temb))
+
+        context = encoder_hidden_states.astype(dtype)
+        sample = sample.astype(dtype)
+
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dtype,
+                    param_dtype=cfg.param_dtype, name="conv_in")(sample)
+
+        down_cls = nn.remat(DownBlock, static_argnums=(4,)) if cfg.remat \
+            else DownBlock
+        up_cls = nn.remat(UpBlock, static_argnums=(5,)) if cfg.remat \
+            else UpBlock
+
+        skips = [x]
+        attn_down = []
+        num_blocks = len(cfg.block_out_channels)
+        for i, block_type in enumerate(cfg.down_block_types):
+            is_cross = block_type == "CrossAttnDownBlock2D"
+            x, block_skips, probs = down_cls(
+                out_channels=cfg.block_out_channels[i],
+                num_layers=cfg.layers_per_block,
+                add_downsample=i < num_blocks - 1,
+                num_heads=cfg.num_heads[i] if is_cross else 0,
+                cross_attention_dim=cfg.cross_attention_dim,
+                use_linear_projection=cfg.use_linear_projection,
+                dtype=dtype, param_dtype=cfg.param_dtype,
+                name=f"down_blocks_{i}")(x, temb, context, capture_attention)
+            skips.extend(block_skips)
+            if is_cross:
+                attn_down.append(probs)
+
+        x, attn_mid = MidBlock(
+            channels=cfg.block_out_channels[-1],
+            num_heads=cfg.num_heads[-1],
+            cross_attention_dim=cfg.cross_attention_dim,
+            use_linear_projection=cfg.use_linear_projection,
+            dtype=dtype, param_dtype=cfg.param_dtype,
+            name="mid_block")(x, temb, context, capture_attention)
+
+        activations = []
+        attn_up = []
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(cfg.num_heads))
+        for i, block_type in enumerate(cfg.up_block_types):
+            is_cross = block_type == "CrossAttnUpBlock2D"
+            num_layers = cfg.layers_per_block + 1
+            block_skips = skips[-num_layers:]
+            skips = skips[:-num_layers]
+            x, probs = up_cls(
+                out_channels=rev_channels[i],
+                num_layers=num_layers,
+                add_upsample=i < num_blocks - 1,
+                num_heads=rev_heads[i] if is_cross else 0,
+                cross_attention_dim=cfg.cross_attention_dim,
+                use_linear_projection=cfg.use_linear_projection,
+                dtype=dtype, param_dtype=cfg.param_dtype,
+                name=f"up_blocks_{i}")(x, block_skips, temb, context,
+                                       capture_attention)
+            if is_cross:
+                # Decoder feature capture — the reference appends `sample`
+                # after every cross-attn up block
+                # (unet_2d_condition.py:1146-1161).
+                activations.append(x.astype(jnp.float32))
+                attn_up.append(probs)
+
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x).astype(dtype)
+        eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
+                      param_dtype=cfg.param_dtype, name="conv_out")(x)
+
+        attn = ({"down": attn_down, "mid": attn_mid, "up": attn_up}
+                if capture_attention else None)
+        return eps.astype(jnp.float32), tuple(activations), attn
+
+
+def init_unet_params(config: UNetConfig, seed: int = 0):
+    """Initialize U-Net parameters (random; real weights via models/weights)."""
+    model = UNet2DCondition(config)
+    sample = jnp.zeros((1, config.sample_size, config.sample_size,
+                        config.in_channels), config.dtype)
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, config.cross_attention_dim), config.dtype)
+    params = model.init(jax.random.PRNGKey(seed), sample, t, ctx)
+    return model, params
+
+
+def tiny_unet_config(**overrides) -> UNetConfig:
+    """A miniature config for unit tests (same topology, tiny widths)."""
+    base = dict(
+        sample_size=8, in_channels=5, out_channels=4,
+        block_out_channels=(32, 64, 64, 64),
+        layers_per_block=1,
+        num_heads=(2, 2, 2, 2),
+        cross_attention_dim=32,
+        dtype=jnp.float32,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
