@@ -1,0 +1,191 @@
+"""Null-text inversion (TPU-native).
+
+Re-designs the reference's StableNullInverter
+(reference: diffhandles/stable_null_inverter.py):
+
+* `ddim_loop` (reference :112-122) is a `lax.scan` of forward-noising steps
+  driven by cond-only eps predictions.
+* `null_optimization` (reference :135-167) is a scan over the 50 timesteps;
+  the per-timestep Adam loop over the uncond embedding (fresh optimizer,
+  lr = 1e-2*(1 - i/100), up to num_inner_steps iterations with the
+  loss < epsilon + i*2e-5 early stop) becomes a `lax.while_loop` whose body
+  is one U-Net fwd+bwd via jax.value_and_grad — the data-dependent early
+  stop stays on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
+from diffusionhandles_tpu.scheduler import ddim_next_step, ddim_step
+
+
+class NullInverter:
+    """Abstract inverter (reference: diffhandles/null_inverter.py)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def invert(self, target_img, depth, prompt, **kwargs):
+        raise NotImplementedError
+
+
+class StableNullInverter(NullInverter):
+
+    def __init__(self, model: GuidedStableDiffuser,
+                 num_ddim_steps: Optional[int] = None,
+                 guidance_scale: float = 7.5):
+        super().__init__(model)
+        self.num_ddim_steps = (num_ddim_steps
+                               or model.schedule.num_inference_steps)
+        self.guidance_scale = guidance_scale
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+
+    def _build_ddim_loop(self):
+        model = self.model
+        unet = model.models.unet
+        schedule = model.schedule
+        timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
+        S = self.num_ddim_steps
+
+        @jax.jit
+        def run(unet_params, latent0, depth64, cond_emb):
+            def step(latent, i):
+                # reference iterates t = timesteps[S - i - 1]
+                # (stable_null_inverter.py:118).
+                t = timesteps[S - 1 - i]
+                model_in = model._unet_in(latent, depth64)
+                eps, _, _ = unet.apply(unet_params, model_in, t, cond_emb)
+                nxt = ddim_next_step(schedule, eps, i, latent)
+                return nxt, nxt
+
+            final, traj = jax.lax.scan(step, latent0, jnp.arange(S))
+            # all_latent = [x0] + 50 noised latents (reference :114-121).
+            return jnp.concatenate([latent0[None], traj], axis=0)
+
+        return run
+
+    def _build_null_optimization(self, num_inner_steps: int):
+        model = self.model
+        unet = model.models.unet
+        schedule = model.schedule
+        timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
+        gs = self.guidance_scale
+        S = self.num_ddim_steps
+
+        def uncond_eps(unet_params, latent, depth64, uncond, step_idx):
+            model_in = model._unet_in(latent, depth64)
+            eps, _, _ = unet.apply(unet_params, model_in,
+                                   timesteps[step_idx], uncond)
+            return eps
+
+        def mse_loss(uncond, unet_params, latent_cur, depth64, eps_cond,
+                     latent_prev, step_idx):
+            eps_u = uncond_eps(unet_params, latent_cur, depth64, uncond,
+                               step_idx)
+            eps = eps_u + gs * (eps_cond - eps_u)
+            latent_prev_rec = ddim_step(schedule, eps, step_idx, latent_cur)
+            return jnp.mean((latent_prev_rec - latent_prev) ** 2)
+
+        loss_and_grad = jax.value_and_grad(mse_loss)
+
+        @jax.jit
+        def run(unet_params, latents_traj, depth64, uncond0, cond_emb,
+                epsilon):
+            # latents_traj: [S+1, 1, h, w, 4] from ddim_loop.
+            # Per-step target: latent_prev = latents[S - 1 - i]
+            # (reference :144: latents[len(latents) - i - 2]).
+            latent_prev_seq = latents_traj[S - 1::-1]
+
+            def outer_step(carry, xs):
+                latent_cur, uncond = carry
+                step_idx, latent_prev = xs
+                lr = 1e-2 * (1.0 - step_idx.astype(jnp.float32) / 100.0)
+                thresh = epsilon + step_idx.astype(jnp.float32) * 2e-5
+
+                eps_cond, _, _ = unet.apply(
+                    unet_params, model._unet_in(latent_cur, depth64),
+                    timesteps[step_idx], cond_emb)
+
+                # Fresh Adam per timestep (reference :143).
+                tx = optax.adam(1.0)  # lr applied via scaling below
+                opt_state0 = tx.init(uncond)
+
+                def cond_fn(state):
+                    j, last_loss, _, _ = state
+                    return jnp.logical_and(
+                        j < num_inner_steps,
+                        jnp.logical_or(j == 0, last_loss >= thresh))
+
+                def body_fn(state):
+                    j, _, u, opt_state = state
+                    loss, g = loss_and_grad(u, unet_params, latent_cur,
+                                            depth64, eps_cond, latent_prev,
+                                            step_idx)
+                    updates, opt_state = tx.update(g, opt_state, u)
+                    u = optax.apply_updates(
+                        u, jax.tree.map(lambda x: lr * x, updates))
+                    return j + 1, loss, u, opt_state
+
+                init = (jnp.int32(0), jnp.float32(jnp.inf), uncond,
+                        opt_state0)
+                _, _, uncond, _ = jax.lax.while_loop(cond_fn, body_fn, init)
+
+                # CFG prev-step with the optimized uncond (reference :163-165).
+                eps_u = uncond_eps(unet_params, latent_cur, depth64, uncond,
+                                   step_idx)
+                eps = eps_u + gs * (eps_cond - eps_u)
+                latent_cur = ddim_step(schedule, eps, step_idx, latent_cur)
+                return (latent_cur, uncond), uncond
+
+            (_, _), uncond_seq = jax.lax.scan(
+                outer_step, (latents_traj[S], uncond0),
+                (jnp.arange(S), latent_prev_seq))
+            return uncond_seq  # [S, 1, 77, D]
+
+        return run
+
+    # ------------------------------------------------------------------
+
+    def invert(self, target_img, depth, prompt: str,
+               num_inner_steps: int = 10, early_stop_epsilon: float = 1e-5,
+               verbose: bool = False):
+        """Invert an image to (init noise, per-step null embeddings).
+
+        Args:
+          target_img: [1, H, W, 3] in [0, 1] (NHWC).
+          depth: disparity map (any of [H,W] / [1,1,H,W] layouts).
+
+        Returns ((target_img, recon_img), init_noise_latent, uncond_seq)
+        matching the reference's invert() contract
+        (stable_null_inverter.py:169-181).
+        """
+        model = self.model
+        depth64 = model.init_depth(depth) if model.conf.use_depth else None
+        uncond, cond = model.init_prompt(prompt)
+
+        latent0 = model.encode_latent_image(jnp.asarray(target_img))
+        recon_img = model.decode_latent_image(latent0)
+
+        if "ddim_loop" not in self._jit_cache:
+            self._jit_cache["ddim_loop"] = self._build_ddim_loop()
+        traj = self._jit_cache["ddim_loop"](
+            model.models.unet_params, latent0, depth64, cond)
+
+        key = ("null_opt", num_inner_steps)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_null_optimization(
+                num_inner_steps)
+        uncond_seq = self._jit_cache[key](
+            model.models.unet_params, traj, depth64, uncond, cond,
+            jnp.float32(early_stop_epsilon))
+
+        return (target_img, recon_img), traj[self.num_ddim_steps], uncond_seq

@@ -182,8 +182,9 @@ class HashTokenizer:
 
 
 def load_tokenizer(checkpoint_dir: Optional[str],
-                   max_length: int = 77):
-    """Load the real CLIP tokenizer if vocab files exist, else the fallback."""
+                   max_length: int = 77, vocab_size: int = 49408):
+    """Load the real CLIP tokenizer if vocab files exist, else the fallback
+    (with ids bounded by the text model's vocab size)."""
     if checkpoint_dir is not None:
         tok_dir = pathlib.Path(checkpoint_dir) / "tokenizer"
         vocab = tok_dir / "vocab.json"
@@ -191,4 +192,4 @@ def load_tokenizer(checkpoint_dir: Optional[str],
         if vocab.exists() and merges.exists():
             return CLIPBPETokenizer(str(vocab), str(merges),
                                     max_length=max_length)
-    return HashTokenizer(max_length=max_length)
+    return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
