@@ -1,0 +1,143 @@
+"""DiffusionHandles pipeline facade.
+
+API parity with the reference's `DiffusionHandles` class
+(reference: diffhandles/diffusion_handles.py): the four-step public API
+  invert_input_image -> generate_input_image -> set_foreground ->
+  transform_foreground
+with the same argument/return contracts. Array interchange uses the
+reference's torch NCHW layout ([1,1,H,W] depths, [1,3,H,W] images in [0,1],
+[T,C,H,W] activation stacks) as numpy; internally everything is NHWC on
+device.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionhandles_tpu.checkpoint import to_nchw, to_nhwc
+from diffusionhandles_tpu.config import (DiffusionHandlesConfig, load_config)
+from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
+from diffusionhandles_tpu.geometry.depth import normalize_depth
+from diffusionhandles_tpu.geometry.transform import transform_depth
+from diffusionhandles_tpu.inverter import StableNullInverter
+from diffusionhandles_tpu.ops.morphology import binary_dilation_iter
+from diffusionhandles_tpu.ops.poisson import solve_laplacian_depth
+
+
+class DiffusionHandles:
+    """Training-free 3D-aware image editing on TPU."""
+
+    def __init__(self, conf: Optional[Union[DiffusionHandlesConfig, str,
+                                            dict]] = None,
+                 variant: str = "sd2"):
+        if conf is None or isinstance(conf, (str, pathlib.Path)):
+            conf = load_config(conf)
+        elif isinstance(conf, dict):
+            from diffusionhandles_tpu.config import config_from_dict
+            conf = config_from_dict(conf)
+        self.conf = conf
+        self.diffuser = GuidedStableDiffuser(
+            conf.guided_diffuser, model_paths=conf.model_paths,
+            variant=variant)
+        self.inverter = StableNullInverter(self.diffuser)
+        self.img_res = self.diffuser.image_res
+
+    def to(self, device=None):
+        """Device placement shim (JAX manages placement; kept for parity
+        with reference: diffusion_handles.py:27-34)."""
+        return self
+
+    # ------------------------------------------------------------------
+
+    def invert_input_image(self, img, depth, prompt: str):
+        """Invert an input image (reference: diffusion_handles.py:36-56).
+
+        Args:
+          img: [1, 3, H, W] numpy in [0, 1].
+          depth: [1, 1, H, W] numpy depth (NOT disparity).
+
+        Returns (null_text_emb [T, 1, 77, D], init_noise [1, 4, h, w]),
+        torch-layout numpy.
+        """
+        disparity = np.asarray(normalize_depth(1.0 / jnp.asarray(
+            depth, jnp.float32)))
+        img_nhwc = to_nhwc(np.asarray(img, np.float32))
+        _, init_noise, null_text_emb = self.inverter.invert(
+            img_nhwc, disparity, prompt, num_inner_steps=5)
+        return (np.asarray(null_text_emb)[:, None],
+                to_nchw(init_noise))
+
+    def generate_input_image(self, depth, prompt: str, null_text_emb=None,
+                             init_noise=None):
+        """Reconstruction pass that records guidance activations
+        (reference: diffusion_handles.py:58-88).
+
+        Returns (null_text_emb [T,1,77,D], init_noise [1,4,h,w],
+        activations list of 3 [T,C,H,W], latent_image [1,4,h,w]).
+        """
+        disparity = np.asarray(normalize_depth(1.0 / jnp.asarray(
+            depth, jnp.float32)))
+        if init_noise is not None:
+            init_noise = to_nhwc(np.asarray(init_noise, np.float32))
+        if null_text_emb is not None:
+            null_text_emb = np.asarray(null_text_emb, np.float32)
+        acts, latents, uncond, init_latents = self.diffuser.initial_inference(
+            init_latents=init_noise, depth=disparity,
+            uncond_embeddings=null_text_emb, prompt=prompt)
+        return (np.asarray(uncond)[:, None], to_nchw(init_latents),
+                [to_nchw(a) for a in acts], to_nchw(latents))
+
+    def set_foreground(self, depth, fg_mask, bg_depth):
+        """Harmonize the background depth with the input depth
+        (reference: diffusion_handles.py:90-111): infill the foreground
+        hole of the input depth from the bg depth's Laplacian, inside the
+        15x-dilated foreground mask.
+        """
+        depth2d = np.asarray(depth, np.float32).reshape(
+            np.shape(depth)[-2], np.shape(depth)[-1])
+        bg2d = np.asarray(bg_depth, np.float32).reshape(depth2d.shape)
+        mask2d = np.asarray(fg_mask).reshape(depth2d.shape) > 0.5
+        dilated = binary_dilation_iter(mask2d, 15)
+        out = solve_laplacian_depth(depth2d, bg2d, dilated)
+        return np.asarray(out)[None, None]
+
+    def transform_foreground(self, depth, prompt: str, fg_mask, bg_depth,
+                             null_text_emb, init_noise, activations,
+                             rot_angle: Optional[float] = None,
+                             rot_axis=None, translation=None,
+                             fg_weight: Optional[float] = None,
+                             bg_weight: Optional[float] = None,
+                             use_input_depth_normalization: bool = False):
+        """3D-transform the foreground and re-generate
+        (reference: diffusion_handles.py:113-166).
+
+        Returns (edited_img [1,3,H,W] in [0,1], edited_disparity [1,1,H,W])
+        and, when save_denoising_steps, the per-step decoded images.
+        """
+        edited_disparity, correspondences = transform_depth(
+            depth=depth, bg_depth=bg_depth, fg_mask=fg_mask,
+            intrinsics=self.diffuser.get_depth_intrinsics(),
+            rot_angle=rot_angle, rot_axis=rot_axis, translation=translation,
+            use_input_depth_normalization=use_input_depth_normalization,
+            depth_transform_mode=self.conf.depth_transform_mode)
+
+        init_noise = to_nhwc(np.asarray(init_noise, np.float32))
+        acts_nhwc = [to_nhwc(np.asarray(a, np.float32)) for a in activations]
+        results = self.diffuser.guided_inference(
+            latents=init_noise, depth=edited_disparity,
+            uncond_embeddings=np.asarray(null_text_emb, np.float32),
+            prompt=prompt, activations_orig=acts_nhwc,
+            correspondences=correspondences,
+            fg_weight=fg_weight, bg_weight=bg_weight,
+            save_denoising_steps=self.conf.guided_diffuser
+            .save_denoising_steps)
+
+        edited_disparity = np.asarray(edited_disparity)
+        if self.conf.guided_diffuser.save_denoising_steps:
+            edited_img, denoising_steps = results
+            return (to_nchw(edited_img), edited_disparity, denoising_steps)
+        return to_nchw(results), edited_disparity

@@ -1,0 +1,93 @@
+"""End-to-end pipeline test on the tiny model variant (CPU).
+
+Exercises the full 4-step public API (reference contract:
+diffhandles/diffusion_handles.py) plus identity checkpoint roundtrip.
+"""
+
+import numpy as np
+import pytest
+
+from diffusionhandles_tpu.checkpoint import (load_identity, save_identity,
+                                             to_nchw, to_nhwc)
+from diffusionhandles_tpu.config import DiffusionHandlesConfig, \
+    GuidedDiffuserConfig
+from diffusionhandles_tpu.pipeline import DiffusionHandles
+
+
+@pytest.fixture(scope="module")
+def handles():
+    conf = DiffusionHandlesConfig(
+        guided_diffuser=GuidedDiffuserConfig(
+            num_timesteps=4, num_optsteps=2, guidance_max_step=3,
+            dtype="float32", remat_guidance=False))
+    return DiffusionHandles(conf, variant="tiny")
+
+
+@pytest.fixture(scope="module")
+def sample(handles):
+    res = handles.img_res
+    yy, xx = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    depth = (2.0 + 0.002 * yy).astype(np.float32)
+    fg = ((yy >= res // 3) & (yy < 2 * res // 3)
+          & (xx >= res // 3) & (xx < 2 * res // 3))
+    depth_fg = depth.copy()
+    depth_fg[fg] -= 0.4
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 3, res, res).astype(np.float32)
+    return dict(img=img, depth=depth_fg[None, None],
+                bg_depth=depth[None, None],
+                fg_mask=fg.astype(np.float32)[None, None])
+
+
+def test_full_pipeline(handles, sample, tmp_path):
+    h = handles
+    prompt = "a toy cube on a table"
+
+    null_text_emb, init_noise = h.invert_input_image(
+        sample["img"], sample["depth"], prompt)
+    T = h.conf.guided_diffuser.num_timesteps
+    assert null_text_emb.shape[0] == T and null_text_emb.shape[1] == 1
+    assert init_noise.shape == (1, 4, h.diffuser.latent_res,
+                                h.diffuser.latent_res)
+
+    null_text_emb, init_noise, activations, latent_image = \
+        h.generate_input_image(sample["depth"], prompt, null_text_emb,
+                               init_noise)
+    assert len(activations) == 3
+    assert activations[0].shape[0] == T
+    # torch-layout on the API surface: [T, C, H, W]
+    assert activations[0].shape[1] == \
+        h.diffuser.models.unet_config.block_out_channels[2]
+
+    # identity checkpoint roundtrip (reference npz field parity)
+    ident_path = tmp_path / "input_image_identity.npz"
+    save_identity(ident_path, null_text_emb,
+                  to_nhwc(init_noise),
+                  [to_nhwc(a) for a in activations],
+                  to_nhwc(latent_image))
+    loaded = np.load(ident_path)
+    assert set(loaded.files) == {"null_text_emb", "init_noise",
+                                 "activations1", "activations2",
+                                 "activations3", "latent_image"}
+    ident = load_identity(ident_path)
+    np.testing.assert_allclose(to_nchw(ident["init_noise"]), init_noise,
+                               rtol=1e-6)
+
+    bg_depth = h.set_foreground(sample["depth"], sample["fg_mask"],
+                                sample["bg_depth"])
+    assert bg_depth.shape == sample["depth"].shape
+    assert np.isfinite(bg_depth).all()
+    # outside the dilated mask the input depth is preserved
+    assert np.allclose(bg_depth[0, 0, 0, 0], sample["depth"][0, 0, 0, 0])
+
+    edited_img, edited_disparity = h.transform_foreground(
+        depth=sample["depth"], prompt=prompt, fg_mask=sample["fg_mask"],
+        bg_depth=bg_depth, null_text_emb=null_text_emb,
+        init_noise=init_noise, activations=activations,
+        rot_angle=10.0, rot_axis=np.array([0.0, 1.0, 0.0]),
+        translation=np.array([0.0, 0.0, 0.0]))
+    res = h.img_res
+    assert edited_img.shape == (1, 3, res, res)
+    assert edited_disparity.shape == (1, 1, res, res)
+    assert np.isfinite(edited_img).all()
+    assert edited_img.min() >= 0.0 and edited_img.max() <= 1.0
