@@ -1,0 +1,100 @@
+"""Text-prompted foreground segmentation.
+
+Fills the role of the reference's LangSAM dependency (GroundingDINO + SAM
+accessed as an external model, reference: test/estimate_foreground.py:11-42
+and webapp/webapps/langsam_segmenter_webapp.py).
+
+In-repo implementation: an open-vocabulary CLIP similarity segmenter — the
+CLIP image encoder's patch tokens are scored against the text prompt's
+embedding, the similarity map is upsampled, thresholded adaptively, and
+cleaned with morphology. This is a self-contained TPU-native stand-in with
+the same service interface; a SAM-class promptable mask decoder can be slot
+in behind the same `ForegroundSelector` interface when its weights are
+available.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionhandles_tpu.models.clip_image import (CLIPImageConfig,
+                                                    CLIPImageEncoder,
+                                                    tiny_clip_image_config)
+from diffusionhandles_tpu.models.clip_text import (CLIPTextConfig,
+                                                   CLIPTextEncoder,
+                                                   tiny_clip_config)
+from diffusionhandles_tpu.models.tokenizer import load_tokenizer
+from diffusionhandles_tpu.ops.morphology import (close, ellipse_kernel,
+                                                 open_)
+from diffusionhandles_tpu.ops.resize import resize_nhwc
+
+
+class ForegroundSelector:
+    """Service-level interface (parity with webapp/webapps/
+    foreground_selector_webapp.py)."""
+
+    def select_foreground(self, img: np.ndarray,
+                          prompt: str) -> np.ndarray:
+        """img [1,3,H,W] in [0,1] + text prompt -> mask [1,1,H,W]."""
+        raise NotImplementedError
+
+
+class CLIPSegmenter(ForegroundSelector):
+    def __init__(self, image_config: Optional[CLIPImageConfig] = None,
+                 text_config: Optional[CLIPTextConfig] = None,
+                 image_params=None, text_params=None, seed: int = 0,
+                 checkpoint_dir: Optional[str] = None):
+        self.image_config = image_config or tiny_clip_image_config(
+            image_size=224, patch_size=16, hidden_size=256, num_layers=6,
+            num_heads=4, projection_dim=256)
+        self.text_config = text_config or tiny_clip_config(
+            vocab_size=49408, hidden_size=256, intermediate_size=512,
+            num_heads=4, num_layers=4)
+        if self.image_config.projection_dim != self.text_config.hidden_size:
+            raise ValueError("image projection_dim must match text hidden")
+        self.image_model = CLIPImageEncoder(self.image_config)
+        self.text_model = CLIPTextEncoder(self.text_config)
+        key = jax.random.PRNGKey(seed)
+        if image_params is None:
+            image_params = self.image_model.init(
+                key, jnp.zeros((1, 32, 32, 3)))
+        if text_params is None:
+            text_params = self.text_model.init(
+                jax.random.PRNGKey(seed + 1), jnp.zeros((1, 77), jnp.int32))
+        self.image_params = image_params
+        self.text_params = text_params
+        self.tokenizer = load_tokenizer(
+            checkpoint_dir, vocab_size=self.text_config.vocab_size)
+        self._encode_image = jax.jit(self.image_model.apply)
+        self._encode_text = jax.jit(self.text_model.apply)
+
+    def similarity_map(self, img: np.ndarray, prompt: str) -> np.ndarray:
+        """Dense cosine similarity between patch tokens and the prompt."""
+        x = jnp.asarray(np.moveaxis(np.asarray(img, np.float32), -3, -1))
+        _, patches = self._encode_image(self.image_params, x)
+        ids = jnp.asarray(self.tokenizer([prompt]), jnp.int32)
+        text = self._encode_text(self.text_params, ids)
+        # pool the prompt: mean over non-padding positions
+        t = text.mean(axis=1)
+        patches = patches / (jnp.linalg.norm(patches, axis=-1,
+                                             keepdims=True) + 1e-8)
+        t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-8)
+        sim = jnp.einsum("bhwc,bc->bhw", patches, t)
+        h, w = img.shape[-2:]
+        sim = resize_nhwc(sim[..., None], (h, w), "bilinear")[..., 0]
+        return np.asarray(sim)
+
+    def select_foreground(self, img: np.ndarray, prompt: str) -> np.ndarray:
+        sim = self.similarity_map(img, prompt)[0]
+        # adaptive threshold: Otsu-style split on the similarity histogram
+        lo, hi = np.percentile(sim, [5, 95])
+        thresh = (lo + hi) / 2
+        mask = sim > thresh
+        res = mask.shape[-1]
+        k = ellipse_kernel(max(1, res // 50))
+        mask = np.asarray(open_(close(mask, k), k))
+        return mask.astype(np.float32)[None, None]
