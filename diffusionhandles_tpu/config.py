@@ -53,9 +53,14 @@ class GuidedDiffuserConfig:
     # 'torch_cpu' reproduces the reference's seeded torch CPU RNG bitwise;
     # 'jax' uses a JAX threefry key derived from `seed`.
     noise_rng: str = "torch_cpu"
+    # Storage dtype of the recorded activation stacks (~1 GB at fp32 for
+    # 50 steps); bf16 halves HBM traffic in the guided pass. Use 'float32'
+    # for strict numerical parity runs.
+    activation_store_dtype: str = "bfloat16"
     # Use jax.checkpoint on U-Net blocks when differentiating the guidance
-    # energy (trades FLOPs for HBM).
-    remat_guidance: bool = True
+    # energy (trades FLOPs for HBM). Batch-1 64^2 guidance fits HBM without
+    # remat, so the default favors speed (bwd ~2.2x fwd instead of ~3x).
+    remat_guidance: bool = False
 
 
 @dataclasses.dataclass

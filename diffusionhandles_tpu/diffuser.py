@@ -188,9 +188,17 @@ class GuidedStableDiffuser(GuidedDiffuser):
         return 2.0 * (depth - dmin) / (dmax - dmin) - 1.0
 
     def encode_prompt(self, prompt: str) -> jnp.ndarray:
-        """CLIP-encode a prompt -> [1, 77, D]."""
-        ids = jnp.asarray(self.models.tokenizer([prompt]), jnp.int32)
-        return self.models.text_encoder.apply(self.models.text_params, ids)
+        """CLIP-encode a prompt -> [1, 77, D] (jitted + memoized)."""
+        if "text_apply" not in self._jit_cache:
+            self._jit_cache["text_apply"] = jax.jit(
+                self.models.text_encoder.apply)
+            self._jit_cache["prompt_embeds"] = {}
+        cache = self._jit_cache["prompt_embeds"]
+        if prompt not in cache:
+            ids = jnp.asarray(self.models.tokenizer([prompt]), jnp.int32)
+            cache[prompt] = self._jit_cache["text_apply"](
+                self.models.text_params, ids)
+        return cache[prompt]
 
     def init_prompt(self, prompt: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(uncond, cond) embeddings (reference: init_prompt :93-108)."""
@@ -199,19 +207,28 @@ class GuidedStableDiffuser(GuidedDiffuser):
     def encode_latent_image(self, image) -> jnp.ndarray:
         """[1,H,W,3] in [0,1] -> scaled latents [1,h,w,4]
         (reference: stable_null_inverter.py:89-110)."""
-        image = jnp.asarray(image, jnp.float32) * 2.0 - 1.0
-        z = self.models.vae.apply(self.models.vae_params, image,
-                                  method=AutoencoderKL.encode)
-        return z * self.models.vae_config.scaling_factor
+        if "vae_encode" not in self._jit_cache:
+            scaling = self.models.vae_config.scaling_factor
+            self._jit_cache["vae_encode"] = jax.jit(
+                lambda p, img: self.models.vae.apply(
+                    p, img * 2.0 - 1.0,
+                    method=AutoencoderKL.encode) * scaling)
+        return self._jit_cache["vae_encode"](
+            self.models.vae_params, jnp.asarray(image, jnp.float32))
 
     def decode_latent_image(self, latents) -> jnp.ndarray:
         """Scaled latents -> image [1,H,W,3] clipped to [0,1]
         (reference: guided_stable_diffuser.py:285-288,481-483)."""
-        z = jnp.asarray(latents, jnp.float32) / \
-            self.models.vae_config.scaling_factor
-        img = self.models.vae.apply(self.models.vae_params, z,
-                                    method=AutoencoderKL.decode)
-        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+        if "vae_decode" not in self._jit_cache:
+            scaling = self.models.vae_config.scaling_factor
+            self._jit_cache["vae_decode"] = jax.jit(
+                lambda p, z: jnp.clip(
+                    self.models.vae.apply(
+                        p, z / scaling,
+                        method=AutoencoderKL.decode) / 2.0 + 0.5,
+                    0.0, 1.0))
+        return self._jit_cache["vae_decode"](
+            self.models.vae_params, jnp.asarray(latents, jnp.float32))
 
     def seeded_init_latents(self) -> jnp.ndarray:
         """Initial latents from the seeded RNG: zeros noised to timesteps[0]
@@ -243,6 +260,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
         unet = self.models.unet
         schedule = self.schedule
         gs = self.conf.guidance_scale
+        act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            self.conf.activation_store_dtype]
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
 
         @jax.jit
@@ -258,7 +277,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
                 # Activation capture from the cond row (batch index 1):
                 # equivalent to the reference's separate batch-1 cond pass
                 # (guided_stable_diffuser.py:222-240).
-                recorded = tuple(a[1] for a in acts)
+                recorded = tuple(a[1].astype(act_dtype) for a in acts)
                 noise_pred = eps[0] + gs * (eps[1] - eps[0])
                 new_latents = ddim_step(schedule, noise_pred[None], step_idx,
                                         latents)
@@ -439,7 +458,10 @@ class GuidedStableDiffuser(GuidedDiffuser):
                 conf.num_optsteps, conf.guidance_max_step,
                 save_denoising_steps)
 
-        acts_orig = tuple(jnp.asarray(a) for a in activations_orig)
+        act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            conf.activation_store_dtype]
+        acts_orig = tuple(jnp.asarray(a, act_dtype)
+                          for a in activations_orig)
         latents = jnp.asarray(latents, jnp.float32)
         final_latents, steps = self._jit_cache[key](
             self.models.unet_params, latents, depth64, uncond_seq, cond,

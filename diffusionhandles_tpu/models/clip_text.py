@@ -111,7 +111,7 @@ class CLIPTextEncoder(nn.Module):
 def init_clip_params(config: CLIPTextConfig, seed: int = 0):
     model = CLIPTextEncoder(config)
     ids = jnp.zeros((1, config.max_position_embeddings), jnp.int32)
-    params = model.init(jax.random.PRNGKey(seed), ids)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), ids)
     return model, params
 
 

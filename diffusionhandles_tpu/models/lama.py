@@ -149,7 +149,7 @@ class LamaInpainter(ForegroundRemover):
         self.model = LamaGenerator(self.config)
         if params is None:
             x = jnp.zeros((1, 64, 64, 4), jnp.float32)
-            params = self.model.init(jax.random.PRNGKey(seed), x)
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x)
         self.params = params
         self._apply = jax.jit(self.model.apply)
 

@@ -60,10 +60,10 @@ class CLIPSegmenter(ForegroundSelector):
         self.text_model = CLIPTextEncoder(self.text_config)
         key = jax.random.PRNGKey(seed)
         if image_params is None:
-            image_params = self.image_model.init(
+            image_params = jax.jit(self.image_model.init)(
                 key, jnp.zeros((1, 32, 32, 3)))
         if text_params is None:
-            text_params = self.text_model.init(
+            text_params = jax.jit(self.text_model.init)(
                 jax.random.PRNGKey(seed + 1), jnp.zeros((1, 77), jnp.int32))
         self.image_params = image_params
         self.text_params = text_params

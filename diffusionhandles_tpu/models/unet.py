@@ -450,7 +450,9 @@ def init_unet_params(config: UNetConfig, seed: int = 0):
                         config.in_channels), config.dtype)
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 77, config.cross_attention_dim), config.dtype)
-    params = model.init(jax.random.PRNGKey(seed), sample, t, ctx)
+    # jit the init: one compiled program instead of thousands of eagerly
+    # dispatched ops (the eager path costs minutes over a remote device).
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), sample, t, ctx)
     return model, params
 
 

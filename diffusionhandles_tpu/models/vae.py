@@ -205,7 +205,7 @@ def init_vae_params(config: VAEConfig, seed: int = 0, image_size: int = 32):
     model = AutoencoderKL(config)
     img = jnp.zeros((1, image_size, image_size, config.in_channels),
                     jnp.float32)
-    params = model.init(jax.random.PRNGKey(seed), img)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), img)
     return model, params
 
 

@@ -166,7 +166,7 @@ class ZoeDepthEstimator(DepthEstimator):
         self.model = ZoeDepthModel(self.config)
         if params is None:
             img = jnp.zeros((1, 64, 64, 3), jnp.float32)
-            params = self.model.init(jax.random.PRNGKey(seed), img)
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), img)
         self.params = params
         self._apply = jax.jit(self.model.apply)
 

@@ -1,0 +1,212 @@
+"""Batched / data-parallel editing.
+
+No reference counterpart (the reference loops transforms serially,
+test/test_diffusion_handles.py:127): on TPU the natural unit of scale is a
+*batch of edits* — N rigid transforms of the same inverted image denoise
+together in one vmapped scan (shared U-Net weights, shared original
+activations, batched latents/depths/correspondences), optionally sharded
+over the 'data' axis of a device mesh for multi-chip scale-out.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
+from diffusionhandles_tpu.guidance import (ProcessedCorrespondences,
+                                           background_loss,
+                                           build_guidance_weight_schedule,
+                                           foreground_loss,
+                                           process_correspondences)
+from diffusionhandles_tpu.scheduler import ddim_step
+
+
+def stack_pcs(pcs: Sequence[ProcessedCorrespondences]
+              ) -> ProcessedCorrespondences:
+    return ProcessedCorrespondences(
+        *[jnp.stack([getattr(pc, f) for pc in pcs]) for f in
+          ProcessedCorrespondences._fields])
+
+
+def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
+                                   num_optsteps: int,
+                                   guidance_max_step: int,
+                                   bg_loss_type: str, fg_patch: int,
+                                   bg_patch: int,
+                                   mesh: Optional[jax.sharding.Mesh] = None):
+    """Compile a batched guided-denoising runner.
+
+    Returns run(unet_params, init_latents [B,..], depth64 [B,..],
+    uncond_seq [T,77,D], cond [1,77,D], acts_orig (3x [T,H,W,C]),
+    fgw, bgw, pcs (batched)) -> final latents [B, h, w, 4].
+    """
+    unet = diffuser.models.unet
+    schedule = diffuser.schedule
+    gs = diffuser.conf.guidance_scale
+    glr = diffuser.conf.guidance_lr
+    timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
+    act_size = (diffuser.latent_res, diffuser.latent_res)
+    use_depth = diffuser.conf.use_depth
+
+    def model_in(lat, depth_b):
+        if use_depth:
+            return jnp.concatenate([lat, depth_b], axis=-1)
+        return lat
+
+    def energy(lat_b, unet_params, depth_b, cond_emb, step_idx, acts_t,
+               fgw_it, bgw_it, pc_b):
+        _, acts, _ = unet.apply(unet_params, model_in(lat_b, depth_b)[None],
+                                timesteps[step_idx], cond_emb)
+        loss = 0.0
+        for k in range(3):
+            loss = loss + fgw_it[k] * foreground_loss(
+                acts[k][0], acts_t[k], pc_b, fg_patch, act_size)
+            loss = loss + bgw_it[k] * background_loss(
+                acts[k][0], acts_t[k], pc_b, bg_patch, act_size,
+                bg_loss_type)
+        return loss
+
+    grad_energy = jax.grad(energy)
+
+    def cfg_batch(unet_params, latents, depth64, uncond_t, cond_emb,
+                  step_idx):
+        b = latents.shape[0]
+        lat2 = jnp.concatenate([latents, latents], axis=0)
+        d2 = jnp.concatenate([depth64, depth64], axis=0) if use_depth \
+            else None
+        ctx = jnp.concatenate(
+            [jnp.broadcast_to(uncond_t[None], (b,) + uncond_t.shape),
+             jnp.broadcast_to(cond_emb[0][None], (b,) + cond_emb[0].shape)],
+            axis=0)
+        eps, _, _ = unet.apply(unet_params,
+                               model_in(lat2, d2) if use_depth else lat2,
+                               timesteps[step_idx], ctx)
+        noise_pred = eps[:b] + gs * (eps[b:] - eps[:b])
+        return ddim_step(schedule, noise_pred, step_idx, latents)
+
+    def run_fn(unet_params, init_latents, depth64, uncond_seq, cond_emb,
+               acts_orig, fgw, bgw, pcs):
+        T = schedule.num_inference_steps
+        gms = guidance_max_step
+
+        def guided_step(latents, xs):
+            step_idx, uncond_t, acts_t, fgw_t, bgw_t = xs
+
+            def one_iter(it, lat):
+                g = jax.vmap(
+                    lambda lb, db, pb: grad_energy(
+                        lb, unet_params, db, cond_emb, step_idx, acts_t,
+                        fgw_t[it], bgw_t[it], pb))(lat, depth64, pcs)
+                return lat - glr * g
+
+            latents = jax.lax.fori_loop(0, num_optsteps, one_iter, latents)
+            latents = cfg_batch(unet_params, latents, depth64, uncond_t,
+                                cond_emb, step_idx)
+            return latents, None
+
+        def plain_step(latents, xs):
+            step_idx, uncond_t = xs
+            return cfg_batch(unet_params, latents, depth64, uncond_t,
+                             cond_emb, step_idx), None
+
+        idx = jnp.arange(T)
+        acts_g = tuple(a[:gms] for a in acts_orig)
+        latents, _ = jax.lax.scan(
+            guided_step, init_latents,
+            (idx[:gms], uncond_seq[:gms], acts_g, fgw, bgw))
+        latents, _ = jax.lax.scan(plain_step, latents,
+                                  (idx[gms:], uncond_seq[gms:]))
+        return latents
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        return jax.jit(
+            run_fn,
+            in_shardings=(rep, batch_sharding, batch_sharding, rep, rep,
+                          rep, rep, rep,
+                          jax.tree.map(lambda _: batch_sharding,
+                                       ProcessedCorrespondences(
+                                           *[0] * 8))),
+            out_shardings=batch_sharding)
+    return jax.jit(run_fn)
+
+
+def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
+               null_text_emb, init_noise, activations,
+               transforms: List[dict],
+               mesh: Optional[jax.sharding.Mesh] = None) -> np.ndarray:
+    """Run N transforms of one inverted image as ONE batched guided
+    denoising (the TPU-native replacement for the reference's serial
+    transform loop).
+
+    transforms: list of dicts with 'rotation_angle', 'rotation_axis',
+      'translation' (photogen transforms.json schema).
+
+    Returns edited images [N, 3, H, W] in [0, 1].
+    """
+    from diffusionhandles_tpu.checkpoint import to_nchw, to_nhwc
+    from diffusionhandles_tpu.geometry.transform import transform_depth
+
+    d = handles.diffuser
+    conf = d.conf
+    K = d.get_depth_intrinsics()
+
+    depth64s = []
+    pcs = []
+    for tr in transforms:
+        edited_disparity, corr = transform_depth(
+            depth=depth, bg_depth=bg_depth, fg_mask=fg_mask, intrinsics=K,
+            rot_angle=tr.get("rotation_angle"),
+            rot_axis=(np.asarray(tr["rotation_axis"], np.float32)
+                      if "rotation_axis" in tr else None),
+            translation=(np.asarray(tr["translation"], np.float32)
+                         if "translation" in tr else None),
+            depth_transform_mode=handles.conf.depth_transform_mode)
+        depth64s.append(d.init_depth(edited_disparity)[0])
+        pcs.append(process_correspondences(
+            corr, img_res=d.image_res, bg_erosion=conf.bg_erosion,
+            max_corr=conf.max_correspondences, latent_res=d.latent_res))
+
+    B = len(transforms)
+    depth64 = jnp.stack(depth64s)  # [B, 64, 64, 1]
+    pcs_b = stack_pcs(pcs)
+
+    T = d.schedule.num_inference_steps
+    cond = d.encode_prompt(prompt)
+    uncond_seq = jnp.asarray(null_text_emb, jnp.float32)
+    uncond_seq = uncond_seq.reshape((uncond_seq.shape[0],)
+                                    + uncond_seq.shape[-2:])
+    init_lat = jnp.asarray(to_nhwc(np.asarray(init_noise)), jnp.float32)
+    init_lat = jnp.broadcast_to(init_lat[0][None],
+                                (B,) + init_lat.shape[1:])
+
+    fgw, bgw = build_guidance_weight_schedule(
+        conf.fg_weight, conf.bg_weight, conf.guidance_max_step, T,
+        conf.num_optsteps, conf.guidance_schedule_type)
+    fgw = fgw[:conf.guidance_max_step]
+    bgw = bgw[:conf.guidance_max_step]
+
+    act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        conf.activation_store_dtype]
+    acts_orig = tuple(jnp.asarray(to_nhwc(np.asarray(a)), act_dtype)
+                      for a in activations)
+
+    key = ("batched_guided", B, conf.num_optsteps, conf.guidance_max_step,
+           conf.bg_loss_type, mesh is not None)
+    if key not in d._jit_cache:
+        d._jit_cache[key] = build_batched_guided_inference(
+            d, conf.num_optsteps, conf.guidance_max_step,
+            conf.bg_loss_type, conf.fg_patch_size, conf.bg_patch_size,
+            mesh=mesh)
+    latents = d._jit_cache[key](
+        d.models.unet_params, init_lat, depth64, uncond_seq, cond,
+        acts_orig, fgw, bgw, pcs_b)
+
+    images = d.decode_latent_image(latents)
+    return np.moveaxis(np.asarray(images), -1, 1)
