@@ -66,8 +66,9 @@ _NORM_MODULES = ("norm", "norm1", "norm2", "norm3", "conv_norm_out",
 def _torch_key_to_flax(torch_key: str) -> Optional[str]:
     """Map a diffusers UNet/VAE torch key to our flax module path."""
     k = torch_key
-    # list indices: 'down_blocks.0.' -> 'down_blocks_0.'
-    k = re.sub(r"\.(\d+)\.", r"_\1.", k)
+    # list indices: 'down_blocks.0.' -> 'down_blocks_0.' (also at the end
+    # of the path, e.g. 'to_out.0')
+    k = re.sub(r"\.(\d+)(?=\.|$)", r"_\1", k)
     k = k.replace("transformer_blocks_0", "block0")
     k = k.replace("ff.net_0.proj", "ff_proj")
     k = k.replace("ff.net_2", "ff_out")

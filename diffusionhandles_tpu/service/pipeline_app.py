@@ -60,6 +60,41 @@ class DiffhandlesPipeline:
             else None
         self.fg_removal_dilation = fg_removal_dilation
         self.state = PipelineState()
+        # per-sample overrides (reference: webapp/data/*/config.yaml keys
+        # fg_removal_dilation / fg_weight / bg_weight / diffhandles_config)
+        self.sample_overrides: dict = {}
+
+    def load_sample(self, sample_dir):
+        """Load a demo-sample directory (webapp data layout) incl. its
+        optional per-sample config.yaml
+        (reference: diffhandles_pipeline_webapp.py:661-701)."""
+        import pathlib
+        from diffusionhandles_tpu.utils.image_io import (load_depth,
+                                                         load_image)
+        d = pathlib.Path(sample_dir)
+        self.sample_overrides = {}
+        cfg_path = d / "config.yaml"
+        if cfg_path.exists():
+            import yaml
+            self.sample_overrides = yaml.safe_load(cfg_path.read_text()) \
+                or {}
+            if "fg_removal_dilation" in self.sample_overrides:
+                self.fg_removal_dilation = int(
+                    self.sample_overrides["fg_removal_dilation"])
+        s = self.state
+        s.img = load_image(d / "input.png")[None]
+        s.prompt = (d / "prompt.txt").read_text().strip()
+        if (d / "mask.png").exists():
+            s.fg_mask = load_image(d / "mask.png")[:1][None]
+        if (d / "fg_prompt.txt").exists():
+            s.fg_prompt = (d / "fg_prompt.txt").read_text().strip()
+        if (d / "depth.exr").exists():
+            s.depth = load_depth(d / "depth.exr")[None]
+        if (d / "bg.png").exists():
+            s.bg_img = load_image(d / "bg.png")[None]
+        if (d / "bg_depth.exr").exists():
+            s.bg_depth = load_depth(d / "bg_depth.exr")[None]
+        return s
 
     # -- step 1 ---------------------------------------------------------
 
@@ -150,6 +185,10 @@ class DiffhandlesPipeline:
         s = self.state
         if s.bg_depth is None:
             self.set_foreground(s.fg_prompt, s.fg_mask)
+        if fg_weight is None:
+            fg_weight = self.sample_overrides.get("fg_weight")
+        if bg_weight is None:
+            bg_weight = self.sample_overrides.get("bg_weight")
         out = self.diffhandles.transform_foreground(
             s.input_image_identity, s.depth, s.prompt, s.fg_mask,
             s.bg_depth, rot_angle=rot_angle, rot_axis=rot_axis,
