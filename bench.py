@@ -24,10 +24,19 @@ Prints one JSON line:
 
 import argparse
 import json
+import os
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: the big scan/grad graphs take minutes to
+# compile; cache them across runs.
+_CACHE = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_CACHE))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 BASELINE_SECONDS = 84.0  # reference full first-time edit (see BASELINE.md)
 
