@@ -18,7 +18,6 @@ from diffusionhandles_tpu.geometry.depth import normalize_depth
 from diffusionhandles_tpu.geometry.mesh import Mesh, depth_to_mesh
 from diffusionhandles_tpu.geometry.transform import transform_points
 from diffusionhandles_tpu.ops.rasterize import (interpolate_attribute,
-                                                needs_big_face_pass,
                                                 project_verts, rasterize)
 from diffusionhandles_tpu.utils.correspondences import pack_correspondences
 
@@ -45,14 +44,8 @@ def render_depth_meshes(mesh: Mesh, intrinsics, height: int, width: int,
     """Rasterize a merged depth mesh; returns (zbuf, color, mask)."""
     focal = float(np.asarray(intrinsics)[0, 0])
     verts_px = project_verts(jnp.asarray(mesh.verts), focal, height, width)
-    foot = 8
-    if needs_big_face_pass(verts_px, mesh.faces, foot):
-        tri = np.asarray(verts_px)[np.asarray(mesh.faces)]
-        du = tri[..., 0].max(1) - tri[..., 0].min(1)
-        dv = tri[..., 1].max(1) - tri[..., 1].min(1)
-        foot = int(min(128, max(du.max(), dv.max()) + 2))
     raster = rasterize(verts_px, jnp.asarray(mesh.faces), height, width,
-                       foot=foot, cull_backfaces=cull_backfaces)
+                       cull_backfaces=cull_backfaces)
     color = interpolate_attribute(raster, mesh.faces,
                                   mesh.vert_attributes["color"])
     return raster.zbuf, color, raster.face_id >= 0

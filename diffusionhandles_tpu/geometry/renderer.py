@@ -29,7 +29,6 @@ import numpy as np
 from diffusionhandles_tpu.geometry.mesh import Mesh
 from diffusionhandles_tpu.geometry.mesh_transform import merge_meshes
 from diffusionhandles_tpu.ops.rasterize import (interpolate_attribute,
-                                                needs_big_face_pass,
                                                 project_verts, rasterize)
 
 
@@ -103,14 +102,7 @@ class RasterRenderer(Renderer):
             cam_verts = verts
         focal = float(np.asarray(cam.intrinsics)[0, 0])
         verts_px = project_verts(jnp.asarray(cam_verts), focal, h, w)
-        foot = 8
-        if needs_big_face_pass(verts_px, mesh.faces, foot):
-            tri = np.asarray(verts_px)[np.asarray(mesh.faces)]
-            du = tri[..., 0].max(1) - tri[..., 0].min(1)
-            dv = tri[..., 1].max(1) - tri[..., 1].min(1)
-            foot = int(min(128, max(du.max(), dv.max()) + 2))
         raster = rasterize(verts_px, jnp.asarray(mesh.faces), h, w,
-                           foot=foot,
                            cull_backfaces=self.args.cull_backfaces,
                            z_near=self.args.z_near)
 

@@ -58,6 +58,9 @@ class UNetConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     remat: bool = False
+    # Use the Pallas flash-attention kernel for long self-attention
+    # sequences (>=512 tokens); short cross-attention stays dense.
+    flash_attention: bool = False
 
 
 def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
@@ -111,9 +114,11 @@ class CrossAttention(nn.Module):
     head_dim: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, capture_probs: bool = False):
+        is_self = context is None
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
         dense = lambda feats, name, bias: nn.Dense(
@@ -130,7 +135,8 @@ class CrossAttention(nn.Module):
         if capture_probs:
             out, probs = dot_product_attention(q, k, v, return_probs=True)
         else:
-            out = dot_product_attention(q, k, v)
+            out = dot_product_attention(q, k, v,
+                                        use_flash=self.use_flash and is_self)
             probs = None
         out = out.reshape(b, sq, inner)
         out = dense(x.shape[-1], "to_out", True)(out)
@@ -145,6 +151,7 @@ class TransformerBlock(nn.Module):
     cross_attention_dim: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, context, capture_probs: bool = False):
@@ -152,7 +159,8 @@ class TransformerBlock(nn.Module):
                                        param_dtype=self.param_dtype, name=name)
         attn = lambda name: CrossAttention(
             self.num_heads, self.head_dim, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
+            param_dtype=self.param_dtype, use_flash=self.use_flash,
+            name=name)
         h, _ = attn("attn1")(ln("norm1")(x).astype(self.dtype))
         x = x + h
         h, probs = attn("attn2")(ln("norm2")(x).astype(self.dtype), context,
@@ -180,6 +188,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, context, capture_probs: bool = False):
@@ -202,6 +211,7 @@ class Transformer2D(nn.Module):
         hidden, probs = TransformerBlock(
             self.num_heads, self.head_dim, self.cross_attention_dim,
             dtype=self.dtype, param_dtype=self.param_dtype,
+            use_flash=self.use_flash,
             name="block0")(hidden, context, capture_probs=capture_probs)
         if self.use_linear_projection:
             hidden = nn.Dense(c, dtype=self.dtype,
@@ -248,6 +258,7 @@ class DownBlock(nn.Module):
     num_heads: int = 0            # 0 => plain DownBlock2D (no attention)
     cross_attention_dim: int = 1024
     use_linear_projection: bool = True
+    use_flash: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -265,6 +276,7 @@ class DownBlock(nn.Module):
                     self.cross_attention_dim,
                     use_linear_projection=self.use_linear_projection,
                     dtype=self.dtype, param_dtype=self.param_dtype,
+                    use_flash=self.use_flash,
                     name=f"attentions_{i}")(x, context,
                                             capture_probs=capture_probs)
                 probs.append(p)
@@ -284,6 +296,7 @@ class UpBlock(nn.Module):
     num_heads: int = 0            # 0 => plain UpBlock2D
     cross_attention_dim: int = 1024
     use_linear_projection: bool = True
+    use_flash: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -301,6 +314,7 @@ class UpBlock(nn.Module):
                     self.cross_attention_dim,
                     use_linear_projection=self.use_linear_projection,
                     dtype=self.dtype, param_dtype=self.param_dtype,
+                    use_flash=self.use_flash,
                     name=f"attentions_{i}")(x, context,
                                             capture_probs=capture_probs)
                 probs.append(p)
@@ -316,6 +330,7 @@ class MidBlock(nn.Module):
     num_heads: int
     cross_attention_dim: int = 1024
     use_linear_projection: bool = True
+    use_flash: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -328,6 +343,7 @@ class MidBlock(nn.Module):
             self.cross_attention_dim,
             use_linear_projection=self.use_linear_projection,
             dtype=self.dtype, param_dtype=self.param_dtype,
+            use_flash=self.use_flash,
             name="attentions_0")(x, context, capture_probs=capture_probs)
         x = ResnetBlock(self.channels, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="resnets_1")(x, temb)
@@ -391,6 +407,7 @@ class UNet2DCondition(nn.Module):
                 num_heads=cfg.num_heads[i] if is_cross else 0,
                 cross_attention_dim=cfg.cross_attention_dim,
                 use_linear_projection=cfg.use_linear_projection,
+                use_flash=cfg.flash_attention,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"down_blocks_{i}")(x, temb, context, capture_attention)
             skips.extend(block_skips)
@@ -402,6 +419,7 @@ class UNet2DCondition(nn.Module):
             num_heads=cfg.num_heads[-1],
             cross_attention_dim=cfg.cross_attention_dim,
             use_linear_projection=cfg.use_linear_projection,
+            use_flash=cfg.flash_attention,
             dtype=dtype, param_dtype=cfg.param_dtype,
             name="mid_block")(x, temb, context, capture_attention)
 
@@ -421,6 +439,7 @@ class UNet2DCondition(nn.Module):
                 num_heads=rev_heads[i] if is_cross else 0,
                 cross_attention_dim=cfg.cross_attention_dim,
                 use_linear_projection=cfg.use_linear_projection,
+                use_flash=cfg.flash_attention,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"up_blocks_{i}")(x, block_skips, temb, context,
                                        capture_attention)

@@ -40,7 +40,10 @@ def dot_product_attention(q, k, v, *, return_probs: bool = False,
       out [B, Sq, H, D] (and probs if requested).
     """
     if use_flash and not return_probs:
-        return flash_attention(q, k, v)
+        sq, sk = q.shape[1], k.shape[1]
+        if sq % min(256, sq) == 0 and sk % min(512, sk) == 0 and sk >= 512:
+            return flash_attention_diff(q, k, v)
+        # short sequences (e.g. 77-token cross-attn): dense is faster
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
@@ -54,7 +57,8 @@ def dot_product_attention(q, k, v, *, return_probs: bool = False,
 
 # ---------------------------------------------------------------------------
 # Pallas flash attention (non-causal, no masking — all sequences here are
-# dense fixed-length token grids).
+# dense fixed-length token grids), with a custom VJP so the guidance
+# gradients (jax.grad through the U-Net) can use it too.
 # ---------------------------------------------------------------------------
 
 
@@ -115,3 +119,38 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
     )(qt, kt, vt)
     return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3))
+
+
+# Differentiable wrapper: Pallas forward + dense einsum backward (the
+# backward recomputes probabilities; at <=4096 tokens the dense bwd is
+# XLA-fusable and memory-light, so a full Pallas bwd kernel is not the
+# bottleneck — measured-first policy).
+@jax.custom_vjp
+def flash_attention_diff(q, k, v):
+    return flash_attention(q, k, v)
+
+
+def _fa_fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _fa_bwd(res, do):
+    q, k, v = res
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    do_f = do.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, do_f,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", do_f, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)

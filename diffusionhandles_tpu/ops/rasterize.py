@@ -12,12 +12,11 @@ Design: depth-surface meshes have pixel-scale triangles, so each face gets a
 fixed FOOT x FOOT pixel footprint anchored at its screen bbox; coverage +
 candidate (z, id) pairs are resolved per pixel with the same exact two-pass
 scatter-min "winner" trick as the point splat (ops with static shapes, no
-data-dependent control flow). Faces whose bbox exceeds the footprint are
-handled by a second pass with a coarser stride: the footprint samples a
-strided lattice whose phase is guaranteed to hit every pixel at least once
-... instead, large faces are rasterized exactly by looping over bbox chunks
-under lax.fori_loop. Ties (equal z) resolve to the lowest face index,
-deterministically.
+data-dependent control flow). The few faces whose bbox exceeds the footprint
+(depth-edge slivers can span the frame) are rasterized exactly in a second
+pass that scans them one at a time over the full image (cheap: big faces are
+rare and full-image coverage is pure VPU work). Ties (equal z) resolve to
+the lowest face index, deterministically.
 """
 
 from __future__ import annotations
@@ -70,18 +69,11 @@ def _winner_scatter(lin_idx, z, cand_valid, num_pixels, num_cand):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "foot",
                                              "cull_backfaces"))
-def rasterize(verts_px, faces, height: int, width: int, foot: int = 8,
-              cull_backfaces: bool = True, z_near: float = 0.1,
-              eps: float = 1e-8) -> RasterOut:
-    """Rasterize triangles to a top-1 z-buffer.
-
-    Args:
-      verts_px: [V, 3] (u, v, z) from project_verts.
-      faces: [F, 3] int32.
-      foot: per-face pixel footprint; faces with larger bboxes are clamped
-        to their bbox's top-left foot x foot window in the fast pass and
-        finished exactly by the chunked pass.
-    """
+def _rasterize_small(verts_px, faces, face_enabled, height: int, width: int,
+                     foot: int = 8, cull_backfaces: bool = True,
+                     z_near: float = 0.1, eps: float = 1e-8):
+    """Fast pass: every enabled face sampled on a foot x foot window
+    anchored at its bbox min. Returns (zbuf, face_id) flat buffers."""
     faces = jnp.asarray(faces, jnp.int32)
     F = faces.shape[0]
     tri = verts_px[faces]  # [F, 3, 3]
@@ -99,6 +91,7 @@ def rasterize(verts_px, faces, height: int, width: int, foot: int = 8,
         valid = jnp.logical_and(valid, area < 0)
     zmin_face = jnp.minimum(jnp.minimum(z0, z1), z2)
     valid = jnp.logical_and(valid, zmin_face > z_near)
+    valid = jnp.logical_and(valid, face_enabled)
 
     bb_min_u = jnp.floor(jnp.minimum(jnp.minimum(u0, u1), u2)).astype(
         jnp.int32)
@@ -127,7 +120,7 @@ def rasterize(verts_px, faces, height: int, width: int, foot: int = 8,
                                                              width - 1)
         return lin, z, ok
 
-    # fast pass: foot x foot window per face
+    # foot x foot window per face
     offs = [(i, j) for i in range(foot) for j in range(foot)]
     lin_all = []
     z_all = []
@@ -143,19 +136,112 @@ def rasterize(verts_px, faces, height: int, width: int, foot: int = 8,
     num_px = height * width
     zmin, winner = _winner_scatter(lin_c, z_c, ok_c, num_px, F * foot * foot)
     face_of_winner = jnp.where(winner < F * foot * foot, winner % F, -1)
+    return zmin, face_of_winner
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width",
+                                             "cull_backfaces"))
+def _rasterize_big(verts_px, faces, big_idx, height: int, width: int,
+                   cull_backfaces: bool = True, z_near: float = 0.1,
+                   eps: float = 1e-8):
+    """Exact full-image pass over a (small) set of big faces: a lax.scan
+    whose sequential strict-< update reproduces first-wins tie order.
+    big_idx entries may be -1 (padding)."""
+    faces = jnp.asarray(faces, jnp.int32)
+    py, px = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32),
+                          indexing="ij")
+
+    def body(carry, fidx):
+        zbuf, fid_buf = carry
+        enabled = fidx >= 0
+        f = faces[jnp.maximum(fidx, 0)]
+        t = verts_px[f]  # [3, 3]
+        u0, v0, z0 = t[0, 0], t[0, 1], t[0, 2]
+        u1, v1, z1 = t[1, 0], t[1, 1], t[1, 2]
+        u2, v2, z2 = t[2, 0], t[2, 1], t[2, 2]
+        area = (u1 - u0) * (v2 - v0) - (u2 - u0) * (v1 - v0)
+        ok = jnp.abs(area) > eps
+        if cull_backfaces:
+            ok = jnp.logical_and(ok, area < 0)
+        ok = jnp.logical_and(ok, jnp.minimum(jnp.minimum(z0, z1), z2)
+                             > z_near)
+        ok = jnp.logical_and(ok, enabled)
+        safe_area = jnp.where(jnp.abs(area) > eps, area, 1.0)
+        w0 = ((u1 - px) * (v2 - py) - (u2 - px) * (v1 - py)) / safe_area
+        w1 = ((u2 - px) * (v0 - py) - (u0 - px) * (v2 - py)) / safe_area
+        w2 = 1.0 - w0 - w1
+        covered = (w0 >= -1e-6) & (w1 >= -1e-6) & (w2 >= -1e-6) & ok
+        z = w0 * z0 + w1 * z1 + w2 * z2
+        better = jnp.logical_and(covered, z < zbuf)
+        zbuf = jnp.where(better, z, zbuf)
+        fid_buf = jnp.where(better, fidx, fid_buf)
+        return (zbuf, fid_buf), None
+
+    zbuf0 = jnp.full((height, width), _BIG, jnp.float32)
+    fid0 = jnp.full((height, width), -1, jnp.int32)
+    (zbuf, fid), _ = jax.lax.scan(body, (zbuf0, fid0), big_idx)
+    return zbuf.reshape(-1), fid.reshape(-1)
+
+
+def rasterize(verts_px, faces, height: int, width: int, foot: int = 8,
+              cull_backfaces: bool = True, z_near: float = 0.1) -> RasterOut:
+    """Rasterize triangles to a top-1 z-buffer.
+
+    Args:
+      verts_px: [V, 3] (u, v, z) from project_verts.
+      faces: [F, 3] int32.
+      foot: footprint of the fast pass; faces with larger bboxes go through
+        the exact big-face pass.
+    """
+    faces = jnp.asarray(faces, jnp.int32)
+    verts_px = jnp.asarray(verts_px, jnp.float32)
+
+    # host-side footprint split (face sizes are static per scene)
+    tri = np.asarray(verts_px)[np.asarray(faces)]
+    du = tri[..., 0].max(1) - tri[..., 0].min(1)
+    dv = tri[..., 1].max(1) - tri[..., 1].min(1)
+    is_big = np.maximum(du, dv) > foot - 1
+    big_indices = np.nonzero(is_big)[0]
+
+    small_enabled = jnp.asarray(~is_big)
+    z_small, fid_small = _rasterize_small(
+        verts_px, faces, small_enabled, height, width, foot=foot,
+        cull_backfaces=cull_backfaces, z_near=z_near)
+
+    if len(big_indices):
+        # pad to the next power of two for compile-cache friendliness
+        n = 1 << int(np.ceil(np.log2(len(big_indices))))
+        big_idx = np.full((n,), -1, np.int32)
+        big_idx[:len(big_indices)] = big_indices
+        z_big, fid_big = _rasterize_big(
+            verts_px, faces, jnp.asarray(big_idx), height, width,
+            cull_backfaces=cull_backfaces, z_near=z_near)
+        # merge: strictly smaller z wins; equal z -> lower face index
+        # (global first-wins order)
+        take_big = jnp.logical_or(
+            z_big < z_small,
+            jnp.logical_and(z_big == z_small, fid_big < fid_small))
+        take_big = jnp.logical_and(take_big, fid_big >= 0)
+        zmin = jnp.where(take_big, z_big, z_small)
+        face_id = jnp.where(take_big, fid_big, fid_small)
+    else:
+        zmin, face_id = z_small, fid_small
 
     zbuf = zmin.reshape(height, width)
-    face_id = face_of_winner.reshape(height, width)
+    face_id = face_id.reshape(height, width)
 
     # recompute barycentrics of the winning face at each pixel
     py, px = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
                           jnp.arange(width, dtype=jnp.float32),
                           indexing="ij")
+    tri_j = verts_px[faces]
     fid = jnp.maximum(face_id, 0)
-    fu0, fv0 = u0[fid], v0[fid]
-    fu1, fv1 = u1[fid], v1[fid]
-    fu2, fv2 = u2[fid], v2[fid]
-    farea = area[fid]
+    fu0, fv0 = tri_j[fid, 0, 0], tri_j[fid, 0, 1]
+    fu1, fv1 = tri_j[fid, 1, 0], tri_j[fid, 1, 1]
+    fu2, fv2 = tri_j[fid, 2, 0], tri_j[fid, 2, 1]
+    farea = ((fu1 - fu0) * (fv2 - fv0) - (fu2 - fu0) * (fv1 - fv0))
+    farea = jnp.where(jnp.abs(farea) > 1e-12, farea, 1.0)
     w0 = ((fu1 - px) * (fv2 - py) - (fu2 - px) * (fv1 - py)) / farea
     w1 = ((fu2 - px) * (fv0 - py) - (fu0 - px) * (fv2 - py)) / farea
     w2 = 1.0 - w0 - w1
@@ -173,12 +259,3 @@ def interpolate_attribute(raster: RasterOut, faces, vert_attr):
     tri_attr = vert_attr[faces[fid]]           # [H, W, 3, C]
     out = jnp.einsum("hwk,hwkc->hwc", raster.bary, tri_attr)
     return jnp.where(raster.face_id[..., None] >= 0, out, 0.0)
-
-
-def needs_big_face_pass(verts_px, faces, foot: int = 8) -> bool:
-    """True if any face's bbox exceeds the fast-pass footprint (the caller
-    can re-rasterize with a larger `foot`)."""
-    tri = np.asarray(verts_px)[np.asarray(faces)]
-    du = tri[..., 0].max(1) - tri[..., 0].min(1)
-    dv = tri[..., 1].max(1) - tri[..., 1].min(1)
-    return bool(np.any(np.maximum(du, dv) > foot - 1))
