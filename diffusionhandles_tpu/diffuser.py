@@ -111,6 +111,12 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
     else:
         dtype = conf.dtype
 
+    if isinstance(conf.param_dtype, str):
+        param_dtype = {"bfloat16": jnp.bfloat16,
+                       "float32": jnp.float32}[conf.param_dtype]
+    else:
+        param_dtype = conf.param_dtype
+
     if variant == "tiny":
         ucfg = tiny_unet_config(
             in_channels=5 if conf.use_depth else 4,
@@ -120,8 +126,9 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
     else:
         in_ch = 5 if conf.use_depth else 4
         ucfg = UNetConfig(in_channels=in_ch, dtype=dtype,
+                          param_dtype=param_dtype,
                           remat=conf.remat_guidance)
-        vcfg = VAEConfig(dtype=dtype)
+        vcfg = VAEConfig(dtype=dtype, param_dtype=param_dtype)
         ccfg = CLIPTextConfig()
 
     ckpt_dir = model_paths.checkpoint_dir if model_paths else None
@@ -131,6 +138,13 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
     if ckpt_dir is not None:
         from diffusionhandles_tpu.models.weights import load_sd_checkpoint
         unet_params, vae_params, clip_params = load_sd_checkpoint(ckpt_dir)
+        cast = lambda tree: jax.tree.map(
+            lambda a: jnp.asarray(a, param_dtype)
+            if np.asarray(a).dtype == np.float32 else jnp.asarray(a), tree)
+        unet_params = cast(unet_params)
+        vae_params = cast(vae_params)
+        # the text encoder runs once per prompt; keep fp32 for fidelity
+        clip_params = jax.tree.map(jnp.asarray, clip_params)
     tokenizer = load_tokenizer(ckpt_dir, max_length=77,
                                vocab_size=ccfg.vocab_size)
     return SDModels(unet, unet_params, vae, vae_params, clip, clip_params,
@@ -146,6 +160,14 @@ class GuidedStableDiffuser(GuidedDiffuser):
                  variant: str = "sd2"):
         super().__init__(conf)
         self.models = models or create_sd_models(model_paths, conf, variant)
+        # Flash-attention clone for no-grad passes (same params; the grad
+        # paths keep dense attention, whose XLA bwd is currently faster
+        # than the custom-VJP recompute).
+        if conf.flash_attention and not self.models.unet_config.flash_attention:
+            self.unet_fast = UNet2DCondition(dataclasses.replace(
+                self.models.unet_config, flash_attention=True))
+        else:
+            self.unet_fast = self.models.unet
         self.schedule = make_ddim_schedule(conf.num_timesteps)
         self.latent_res = self.models.unet_config.sample_size
         self.image_res = (self.latent_res
@@ -257,7 +279,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
     # ------------------------------------------------------------------
 
     def _build_initial_inference(self):
-        unet = self.models.unet
+        unet = self.unet_fast
         schedule = self.schedule
         gs = self.conf.guidance_scale
         act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
@@ -328,7 +350,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
     def _build_guided_inference(self, bg_loss_type: str, fg_patch: int,
                                 bg_patch: int, num_optsteps: int,
                                 guidance_max_step: int, emit_steps: bool):
-        unet = self.models.unet
+        unet = self.models.unet          # dense attention (grad path)
+        unet_fast = self.unet_fast       # flash attention (no-grad CFG)
         schedule = self.schedule
         gs = self.conf.guidance_scale
         glr = self.conf.guidance_lr
@@ -340,8 +363,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
             lat2 = jnp.concatenate([latents, latents], axis=0)
             model_in = self._unet_in(lat2, depth64)
             ctx = jnp.stack([uncond_t, cond_emb[0]], axis=0)
-            eps, _, _ = unet.apply(unet_params, model_in,
-                                   timesteps[step_idx], ctx)
+            eps, _, _ = unet_fast.apply(unet_params, model_in,
+                                        timesteps[step_idx], ctx)
             noise_pred = eps[0] + gs * (eps[1] - eps[0])
             return ddim_step(schedule, noise_pred[None], step_idx, latents)
 

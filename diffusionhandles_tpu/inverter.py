@@ -51,7 +51,7 @@ class StableNullInverter(NullInverter):
 
     def _build_ddim_loop(self):
         model = self.model
-        unet = model.models.unet
+        unet = model.unet_fast
         schedule = model.schedule
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
         S = self.num_ddim_steps
@@ -75,7 +75,8 @@ class StableNullInverter(NullInverter):
 
     def _build_null_optimization(self, num_inner_steps: int):
         model = self.model
-        unet = model.models.unet
+        unet = model.models.unet       # dense attention: inside jax.grad
+        unet_fast = model.unet_fast    # flash attention: no-grad passes
         schedule = model.schedule
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
         gs = self.guidance_scale
@@ -85,6 +86,12 @@ class StableNullInverter(NullInverter):
             model_in = model._unet_in(latent, depth64)
             eps, _, _ = unet.apply(unet_params, model_in,
                                    timesteps[step_idx], uncond)
+            return eps
+
+        def uncond_eps_fast(unet_params, latent, depth64, uncond, step_idx):
+            model_in = model._unet_in(latent, depth64)
+            eps, _, _ = unet_fast.apply(unet_params, model_in,
+                                        timesteps[step_idx], uncond)
             return eps
 
         def mse_loss(uncond, unet_params, latent_cur, depth64, eps_cond,
@@ -111,7 +118,7 @@ class StableNullInverter(NullInverter):
                 lr = 1e-2 * (1.0 - step_idx.astype(jnp.float32) / 100.0)
                 thresh = epsilon + step_idx.astype(jnp.float32) * 2e-5
 
-                eps_cond, _, _ = unet.apply(
+                eps_cond, _, _ = unet_fast.apply(
                     unet_params, model._unet_in(latent_cur, depth64),
                     timesteps[step_idx], cond_emb)
 
@@ -140,8 +147,8 @@ class StableNullInverter(NullInverter):
                 _, _, uncond, _ = jax.lax.while_loop(cond_fn, body_fn, init)
 
                 # CFG prev-step with the optimized uncond (reference :163-165).
-                eps_u = uncond_eps(unet_params, latent_cur, depth64, uncond,
-                                   step_idx)
+                eps_u = uncond_eps_fast(unet_params, latent_cur, depth64,
+                                        uncond, step_idx)
                 eps = eps_u + gs * (eps_cond - eps_u)
                 latent_cur = ddim_step(schedule, eps, step_idx, latent_cur)
                 return (latent_cur, uncond), uncond

@@ -45,7 +45,7 @@ class StableText2Img(Text2Img):
 
     def _build(self):
         d = self.diffuser
-        unet = d.models.unet
+        unet = d.unet_fast
         schedule = d.schedule
         gs = d.conf.guidance_scale
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)

@@ -44,7 +44,8 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
     uncond_seq [T,77,D], cond [1,77,D], acts_orig (3x [T,H,W,C]),
     fgw, bgw, pcs (batched)) -> final latents [B, h, w, 4].
     """
-    unet = diffuser.models.unet
+    unet = diffuser.models.unet          # dense attention (grad path)
+    unet_fast = diffuser.unet_fast       # flash attention (no-grad CFG)
     schedule = diffuser.schedule
     gs = diffuser.conf.guidance_scale
     glr = diffuser.conf.guidance_lr
@@ -82,9 +83,10 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
             [jnp.broadcast_to(uncond_t[None], (b,) + uncond_t.shape),
              jnp.broadcast_to(cond_emb[0][None], (b,) + cond_emb[0].shape)],
             axis=0)
-        eps, _, _ = unet.apply(unet_params,
-                               model_in(lat2, d2) if use_depth else lat2,
-                               timesteps[step_idx], ctx)
+        eps, _, _ = unet_fast.apply(unet_params,
+                                    model_in(lat2, d2) if use_depth
+                                    else lat2,
+                                    timesteps[step_idx], ctx)
         noise_pred = eps[:b] + gs * (eps[b:] - eps[:b])
         return ddim_step(schedule, noise_pred, step_idx, latents)
 
