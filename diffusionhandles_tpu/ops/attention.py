@@ -40,8 +40,7 @@ def dot_product_attention(q, k, v, *, return_probs: bool = False,
       out [B, Sq, H, D] (and probs if requested).
     """
     if use_flash and not return_probs:
-        sq, sk = q.shape[1], k.shape[1]
-        if sq % min(256, sq) == 0 and sk % min(512, sk) == 0 and sk >= 512:
+        if _flash_ok(q.shape[1], k.shape[1]):
             return flash_attention_diff(q, k, v)
         # short sequences (e.g. 77-token cross-attn): dense is faster
     scale = 1.0 / math.sqrt(q.shape[-1])
@@ -62,7 +61,8 @@ def dot_product_attention(q, k, v, *, return_probs: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
+                  block_k):
     q = q_ref[0].astype(jnp.float32) * scale  # [block_q, d]
     block_q, d = q.shape
 
@@ -82,27 +82,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, kv_len // block_k, body,
+    acc, m, l = jax.lax.fori_loop(0, kv_len // block_k, body,
                                   (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
-    """Flash attention for [B, S, H, D] inputs (non-causal, unmasked)."""
+def _flash_fwd_impl(q, k, v, block_q: int = 256, block_k: int = 512):
+    """Returns (out [B,S,H,D], lse [B*H, S])."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
-    if sq % block_q or sk % block_k:
-        # Shapes here are powers of two (64^2, 32^2, ...); fall back otherwise.
-        return dot_product_attention(q, k, v)
     scale = 1.0 / math.sqrt(d)
     qt = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, sq, d)
     kt = jnp.transpose(k, (0, 2, 1, 3)).reshape(b * h, sk, d)
     vt = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, sk, d)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=sk,
                           block_k=block_k),
         grid=(b * h, sq // block_q),
@@ -114,43 +111,172 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq), jnp.float32),
+        ),
+    )(qt, kt, vt)
+    return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3)), lse
+
+
+def _flash_ok(sq: int, sk: int, block_q: int = 256,
+              block_k: int = 512) -> bool:
+    """Kernel eligibility: long-enough, block-aligned sequences (the token
+    grids here are powers of two: 64^2, 32^2, ...)."""
+    return sk >= block_k and sk % block_k == 0 and sq % min(block_q,
+                                                            sq) == 0
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
+    """Flash attention for [B, S, H, D] inputs (non-causal, unmasked)."""
+    if not _flash_ok(q.shape[1], k.shape[1], block_q, block_k):
+        return dot_product_attention(q, k, v)
+    return _flash_fwd_impl(q, k, v, block_q, block_k)[0]
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, scale, kv_len, block_k):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    block_q, d = q.shape
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, kv_len // block_k, body,
+                           jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale, q_len, block_q):
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)  # [block_q, block_k]
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, q_len // block_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 256,
+                    block_k: int = 512):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    scale = 1.0 / math.sqrt(d)
+    tr = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1],
+                                                          d)
+    qt, kt, vt, dot = tr(q), tr(k), tr(v), tr(do)
+    delta = jnp.sum(dot.astype(jnp.float32)
+                    * tr(o).astype(jnp.float32), axis=-1)  # [bh, sq]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=sk,
+                          block_k=block_k),
+        grid=(b * h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-    )(qt, kt, vt)
-    return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3))
+    )(qt, kt, vt, dot, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, q_len=sq,
+                          block_q=block_q),
+        grid=(b * h, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk, d), v.dtype),
+        ),
+    )(qt, kt, vt, dot, lse, delta)
+
+    untr = lambda x: jnp.transpose(
+        x.reshape(b, h, x.shape[1], d), (0, 2, 1, 3))
+    return untr(dq), untr(dk), untr(dv)
 
 
-# Differentiable wrapper: Pallas forward + dense einsum backward (the
-# backward recomputes probabilities; at <=4096 tokens the dense bwd is
-# XLA-fusable and memory-light, so a full Pallas bwd kernel is not the
-# bottleneck — measured-first policy).
+# Differentiable flash attention: Pallas forward (saves O and the row
+# log-sum-exp) + Pallas FlashAttention-2-style backward (dq pass over query
+# blocks, dk/dv pass over key blocks; probabilities recomputed from lse).
 @jax.custom_vjp
 def flash_attention_diff(q, k, v):
     return flash_attention(q, k, v)
 
 
 def _fa_fwd(q, k, v):
-    return flash_attention(q, k, v), (q, k, v)
+    o, lse = _flash_fwd_impl(q, k, v)
+    return o, (q, k, v, o, lse)
 
 
 def _fa_bwd(res, do):
-    q, k, v = res
-    scale = 1.0 / math.sqrt(q.shape[-1])
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    do_f = do.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, do_f,
-                    preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", do_f, v.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32),
-                    preferred_element_type=jnp.float32) * scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32),
-                    preferred_element_type=jnp.float32) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, do)
 
 
 flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)
