@@ -20,22 +20,55 @@ from diffusionhandles_tpu.service.base import decode_payload, encode_payload
 
 
 class ServiceClient:
-    def __init__(self, url: str, timeout: Optional[float] = 600.0):
+    def __init__(self, url: str, timeout: Optional[float] = 600.0,
+                 retries: int = 2, retry_backoff: float = 1.0):
         self.url = url.rstrip("/")
         self.timeout = timeout
+        self.retries = retries
+        self.retry_backoff = retry_backoff
 
     def call(self, endpoint: str, **payload):
+        import time
+        import urllib.error
         body = json.dumps(encode_payload(payload)).encode()
-        req = urllib.request.Request(
-            f"{self.url}/{endpoint}", data=body,
-            headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            out = json.loads(resp.read())
-        if not out.get("ok", False):
-            raise RuntimeError(
-                f"{endpoint} failed: {out.get('error')}\n"
-                f"{out.get('traceback', '')}")
-        return decode_payload(out["data"])
+        last_exc = None
+        for attempt in range(self.retries + 1):
+            try:
+                req = urllib.request.Request(
+                    f"{self.url}/{endpoint}", data=body,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req,
+                                            timeout=self.timeout) as resp:
+                    out = json.loads(resp.read())
+                if not out.get("ok", False):
+                    # application error: don't retry, surface it
+                    raise RuntimeError(
+                        f"{endpoint} failed: {out.get('error')}\n"
+                        f"{out.get('traceback', '')}")
+                return decode_payload(out["data"])
+            except (urllib.error.URLError, ConnectionError,
+                    TimeoutError) as exc:  # transport errors: retry
+                last_exc = exc
+                if attempt < self.retries:
+                    time.sleep(self.retry_backoff * (2 ** attempt))
+        raise ConnectionError(
+            f"{self.url}/{endpoint} unreachable after "
+            f"{self.retries + 1} attempts: {last_exc}")
+
+    def wait_healthy(self, timeout: float = 60.0,
+                     poll: float = 0.5) -> bool:
+        """Block until the service's /health endpoint answers."""
+        import time
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                out = self.call("health")
+                if out.get("status") == "ok":
+                    return True
+            except Exception:
+                pass
+            time.sleep(poll)
+        return False
 
 
 class DepthEstimatorClient(ServiceClient):

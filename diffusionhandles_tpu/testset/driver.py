@@ -178,6 +178,17 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
                 translation=(np.asarray(tr["translation"], np.float32)
                              if "translation" in tr else None))
             edited_img, edited_disparity = results[0], results[1]
+            if len(results) > 2 and results[2] is not None:
+                # full_debug mode: save per-denoising-step decodes
+                # (reference: guided_stable_diffuser.py:444-479 +
+                # denoising_steps_template.html)
+                steps_dir = sample_out / f"{transform_name}_steps"
+                for si, (img_opt, img_step) in enumerate(
+                        results[2]["opt"]):
+                    save_image(np.moveaxis(img_opt[0], -1, 0),
+                               steps_dir / f"step_{si:03d}_opt.png")
+                    save_image(np.moveaxis(img_step[0], -1, 0),
+                               steps_dir / f"step_{si:03d}_denoise.png")
             save_image(edited_img[0], sample_out / f"{transform_name}.png")
             ed = np.asarray(edited_disparity)[0]
             lo, hi = ed.min(), ed.max()

@@ -55,6 +55,37 @@ img { max-width: 192px; display: block; }
 """
 
 
+_STEPS_TEMPLATE = """<!DOCTYPE html>
+<html><head><title>{{ title }}</title>
+<style>body{font-family:sans-serif}td{padding:4px;text-align:center}
+img{max-width:128px;display:block}</style></head>
+<body><h1>{{ title }}</h1><table>
+<tr><th>step</th><th>post-opt</th><th>post-denoise</th></tr>
+{% for s in steps %}
+<tr><td>{{ s.idx }}</td><td><img src="{{ s.opt }}"></td>
+<td><img src="{{ s.den }}"></td></tr>
+{% endfor %}
+</table></body></html>
+"""
+
+
+def generate_denoising_steps_webpage(steps_dir, website_path) -> None:
+    """Per-step denoising gallery (reference:
+    test/webpage_templates/denoising_steps_template.html)."""
+    import jinja2
+    steps_dir = pathlib.Path(steps_dir)
+    opt_files = sorted(steps_dir.glob("step_*_opt.png"))
+    steps = []
+    for f in opt_files:
+        idx = f.stem.split("_")[1]
+        steps.append({"idx": idx,
+                      "opt": f"{steps_dir.name}/{f.name}",
+                      "den": f"{steps_dir.name}/step_{idx}_denoise.png"})
+    html = jinja2.Template(_STEPS_TEMPLATE).render(
+        title=f"Denoising steps: {steps_dir.name}", steps=steps)
+    pathlib.Path(website_path).write_text(html)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((np.asarray(a, np.float64)
                          - np.asarray(b, np.float64)) ** 2))
