@@ -24,6 +24,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# lane width used for per-row scalar buffers (lse/delta) in flash kernels
+_LANES = 8
+
 
 def dot_product_attention(q, k, v, *, return_probs: bool = False,
                           use_flash: bool = False):
@@ -85,7 +88,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
     acc, m, l = jax.lax.fori_loop(0, kv_len // block_k, body,
                                   (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    # lse is materialized on an 8-lane axis to satisfy TPU tiling
+    # (a [*, block_q] block would put 1 in the sublane dim).
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q, _LANES))
 
 
 def _flash_fwd_impl(q, k, v, block_q: int = 256, block_k: int = 512):
@@ -114,12 +119,12 @@ def _flash_fwd_impl(q, k, v, block_q: int = 256, block_k: int = 512):
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, block_q, _LANES), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sq, _LANES), jnp.float32),
         ),
     )(qt, kt, vt)
     return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3)), lse
@@ -145,8 +150,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          dq_ref, *, scale, kv_len, block_k):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0][:, :1]      # [block_q, 1] (lane-padded buffer)
+    delta = delta_ref[0][:, :1]
     block_q, d = q.shape
 
     def body(i, dq):
@@ -173,8 +178,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :1]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :1]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)  # [block_q, block_k]
         dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
@@ -202,6 +207,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 256,
     qt, kt, vt, dot = tr(q), tr(k), tr(v), tr(do)
     delta = jnp.sum(dot.astype(jnp.float32)
                     * tr(o).astype(jnp.float32), axis=-1)  # [bh, sq]
+    delta = jnp.broadcast_to(delta[..., None],
+                             delta.shape + (_LANES,))  # lane-padded
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=sk,
@@ -216,9 +223,9 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, block_q, _LANES), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, block_q, _LANES), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
@@ -239,9 +246,9 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq), lambda i, j: (i, 0),
+            pl.BlockSpec((1, sq, _LANES), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq), lambda i, j: (i, 0),
+            pl.BlockSpec((1, sq, _LANES), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
