@@ -127,7 +127,8 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
         in_ch = 5 if conf.use_depth else 4
         ucfg = UNetConfig(in_channels=in_ch, dtype=dtype,
                           param_dtype=param_dtype,
-                          remat=conf.remat_guidance)
+                          remat=conf.remat_guidance,
+                          flash_attention=conf.flash_attention)
         vcfg = VAEConfig(dtype=dtype, param_dtype=param_dtype)
         ccfg = CLIPTextConfig()
 
@@ -160,9 +161,11 @@ class GuidedStableDiffuser(GuidedDiffuser):
                  variant: str = "sd2"):
         super().__init__(conf)
         self.models = models or create_sd_models(model_paths, conf, variant)
-        # Flash-attention clone for no-grad passes (same params; the grad
-        # paths keep dense attention, whose XLA bwd is currently faster
-        # than the custom-VJP recompute).
+        # The flash-attention Pallas kernels (fwd + FlashAttention-2 bwd)
+        # are faster than dense attention in both no-grad and grad paths at
+        # SD2's 4096-token self-attention, so the base model uses them when
+        # conf.flash_attention is set; `unet_fast` is kept as an alias for
+        # call sites that only ever run without gradients.
         if conf.flash_attention and not self.models.unet_config.flash_attention:
             self.unet_fast = UNet2DCondition(dataclasses.replace(
                 self.models.unet_config, flash_attention=True))
