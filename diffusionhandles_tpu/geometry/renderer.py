@@ -15,6 +15,10 @@ outputs from the winner buffer:
   'vertex_normal'      smooth vertex normals, interpolated
   'flat_vertex_color'  named vertex attribute, interpolated
                        (FlatVertexAttributeShader, reference :487-537)
+  'uv_texture'         2D texture sampled at interpolated per-vertex UVs
+                       (FlatTextureShader, reference :453-485)
+  'global_volume_texture' 3D texture sampled at world positions
+                       (FlatGlobalVolumeTextureShader, reference :400-450)
   'face_id'            winning face index
 """
 
@@ -74,6 +78,9 @@ class RasterRenderer(Renderer):
         self._camera: Optional[Camera] = None
 
     def update_scene(self, scene_elements: dict) -> None:
+        """Scene dict: meshes, cameras, optional uv_textures (list of
+        [Ht, Wt, C]) and global_volume_texture ([D, H, W, C] + 'bounds'
+        (lo, hi)) — reference: pytorch3d_renderer.py scene dict :570-576."""
         meshes = scene_elements.get("meshes", [])
         if not meshes:
             raise ValueError("scene needs at least one mesh")
@@ -82,6 +89,13 @@ class RasterRenderer(Renderer):
         if not cameras:
             raise ValueError("scene needs a camera")
         self._camera = cameras[0]
+        self._uv_texture = None
+        uv_textures = scene_elements.get("uv_textures")
+        if uv_textures:
+            self._uv_texture = np.asarray(uv_textures[0], np.float32)
+        self._volume_texture = scene_elements.get("global_volume_texture")
+        self._volume_bounds = scene_elements.get(
+            "global_volume_texture_bounds")
 
     def set_output_layers(self, output_names: Sequence[str]) -> None:
         self.output_names = list(output_names)
@@ -138,9 +152,62 @@ class RasterRenderer(Renderer):
                     raise ValueError("mesh has no 'color' attribute")
                 out[name] = np.asarray(interpolate_attribute(
                     raster, faces, np.asarray(color, np.float32)))
+            elif name == "uv_texture":
+                uv = mesh.vert_attributes.get("uv")
+                if uv is None or self._uv_texture is None:
+                    raise ValueError(
+                        "'uv_texture' needs a mesh 'uv' attribute and a "
+                        "scene uv_textures entry")
+                uv_img = np.asarray(interpolate_attribute(
+                    raster, faces, np.asarray(uv, np.float32)))
+                out[name] = _sample_texture2d(self._uv_texture, uv_img)
+                out[name][~covered] = 0
+            elif name == "global_volume_texture":
+                if self._volume_texture is None:
+                    raise ValueError(
+                        "'global_volume_texture' needs a scene "
+                        "global_volume_texture entry")
+                pos = np.asarray(interpolate_attribute(
+                    raster, faces, verts))
+                out[name] = _sample_volume(
+                    np.asarray(self._volume_texture, np.float32), pos,
+                    self._volume_bounds)
+                out[name][~covered] = 0
             else:
                 raise ValueError(f"unknown output layer '{name}'")
         return out
+
+
+def _sample_texture2d(tex: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Bilinear texture sampling; uv in [0,1]^2 ([H, W, 2] -> [H, W, C])."""
+    th, tw = tex.shape[:2]
+    u = np.clip(uv[..., 0], 0, 1) * (tw - 1)
+    v = np.clip(uv[..., 1], 0, 1) * (th - 1)
+    u0 = np.floor(u).astype(int)
+    v0 = np.floor(v).astype(int)
+    u1 = np.minimum(u0 + 1, tw - 1)
+    v1 = np.minimum(v0 + 1, th - 1)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    return ((tex[v0, u0] * (1 - fu) + tex[v0, u1] * fu) * (1 - fv)
+            + (tex[v1, u0] * (1 - fu) + tex[v1, u1] * fu) * fv)
+
+
+def _sample_volume(vol: np.ndarray, pos: np.ndarray, bounds) -> np.ndarray:
+    """Nearest-neighbor 3D texture sampling at world positions.
+    vol [D, H, W, C]; bounds (lo[3], hi[3]) default unit cube at origin."""
+    if bounds is None:
+        lo = np.array([-0.5, -0.5, -0.5])
+        hi = np.array([0.5, 0.5, 0.5])
+    else:
+        lo, hi = np.asarray(bounds[0], float), np.asarray(bounds[1], float)
+    t = (pos - lo) / np.maximum(hi - lo, 1e-12)
+    t = np.clip(t, 0, 1)
+    d, h, w = vol.shape[:3]
+    zi = np.clip((t[..., 2] * (d - 1)).round().astype(int), 0, d - 1)
+    yi = np.clip((t[..., 1] * (h - 1)).round().astype(int), 0, h - 1)
+    xi = np.clip((t[..., 0] * (w - 1)).round().astype(int), 0, w - 1)
+    return vol[zi, yi, xi]
 
 
 def _face_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
