@@ -109,6 +109,14 @@ class Webapp:
 
         for name, fn in self._routes.items():
             app.router.add_post(f"{self.netpath}/{name}", make_handler(fn))
+
+        if getattr(self, "index_html", None):
+            async def index(request):
+                return web.Response(text=self.index_html,
+                                    content_type="text/html")
+            app.router.add_get(f"{self.netpath}/", index)
+            if self.netpath:
+                app.router.add_get(self.netpath, index)
         return app
 
     def run(self) -> None:

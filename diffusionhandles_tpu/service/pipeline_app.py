@@ -150,7 +150,10 @@ class DiffhandlesPipeline:
                 raise RuntimeError("need fg_prompt or fg_mask")
             fg_mask = self.selector.select_foreground(s.img, fg_prompt)
         s.fg_prompt = fg_prompt
-        s.fg_mask = np.asarray(fg_mask, np.float32)
+        fg_mask = np.asarray(fg_mask, np.float32)
+        if fg_mask.ndim == 4 and fg_mask.shape[1] > 1:  # rgb mask upload
+            fg_mask = fg_mask[:, :1]
+        s.fg_mask = fg_mask
 
         jm = JobManager()
         remove_job = Job(lambda: self.remover.remove_foreground(
@@ -244,6 +247,8 @@ class DiffhandlesPipelineWebapp(Webapp):
     def __init__(self, pipeline: Optional[DiffhandlesPipeline] = None,
                  port: int = 8888, **kwargs):
         super().__init__(port=port, **kwargs)
+        from diffusionhandles_tpu.service.ui import PIPELINE_UI_HTML
+        self.index_html = PIPELINE_UI_HTML  # browser UI at GET /
         self.pipeline = pipeline or DiffhandlesPipeline()
         self.route("set_input_image", self._set_input_image)
         self.route("set_foreground", self._set_foreground)
