@@ -78,12 +78,43 @@ def run_edit(handles, sample, prompt="a toy cube on a table"):
                 step3_guided_edit=t3 - t2, total=t3 - t0)
 
 
+def bench_batched_edits(handles, sample, batch: int,
+                        prompt="a toy cube on a table"):
+    """Secondary metric: batched multi-transform editing throughput
+    (sec/edit at batch N; no reference counterpart — the reference loops
+    transforms serially)."""
+    from diffusionhandles_tpu.parallel.batch import edit_batch
+    null_text_emb, init_noise = handles.invert_input_image(
+        sample["img"], sample["depth"], prompt)
+    null_text_emb, init_noise, activations, _ = \
+        handles.generate_input_image(sample["depth"], prompt, null_text_emb,
+                                     init_noise)
+    transforms = [{"rotation_angle": 5.0 * i,
+                   "rotation_axis": [0.0, 1.0, 0.0],
+                   "translation": [0.02 * i, 0.0, 0.0]}
+                  for i in range(batch)]
+    # compile
+    edit_batch(handles, sample["depth"], prompt, sample["fg_mask"],
+               sample["bg_depth"], null_text_emb, init_noise, activations,
+               transforms)
+    t0 = time.perf_counter()
+    imgs = edit_batch(handles, sample["depth"], prompt, sample["fg_mask"],
+                      sample["bg_depth"], null_text_emb, init_noise,
+                      activations, transforms)
+    np.asarray(imgs)
+    dt = time.perf_counter() - t0
+    print(f"  batched guided edit x{batch}: {dt:.2f}s total, "
+          f"{dt / batch:.2f}s/edit", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--variant", default="sd2",
                         choices=["sd2", "tiny"])
     parser.add_argument("--repeats", type=int, default=1)
     parser.add_argument("--skip-warmup", action="store_true")
+    parser.add_argument("--batched", type=int, default=0,
+                        help="also benchmark batched editing at this batch")
     args = parser.parse_args()
 
     from diffusionhandles_tpu.pipeline import DiffusionHandles
@@ -101,6 +132,9 @@ def main():
     detail = min(times, key=lambda t: t["total"])
     for k, v in detail.items():
         print(f"  {k}: {v:.2f}s", file=sys.stderr)
+
+    if args.batched:
+        bench_batched_edits(handles, sample, args.batched)
 
     print(json.dumps({
         "metric": "end-to-end 512^2 edit (50-step inversion + recording "
