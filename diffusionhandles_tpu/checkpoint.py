@@ -18,16 +18,28 @@ from typing import Any, Dict, List, Tuple
 import numpy as np
 
 
-def to_nchw(x) -> np.ndarray:
-    """[..., H, W, C] -> [..., C, H, W]."""
-    x = np.asarray(x)
-    return np.moveaxis(x, -1, -3)
+def _is_jax(x) -> bool:
+    return type(x).__module__.startswith("jax")
 
 
-def to_nhwc(x) -> np.ndarray:
-    """[..., C, H, W] -> [..., H, W, C]."""
-    x = np.asarray(x)
-    return np.moveaxis(x, -3, -1)
+def to_nchw(x):
+    """[..., H, W, C] -> [..., C, H, W].
+
+    Device arrays stay on device (the activation stacks are ~0.5 GB; a
+    host round-trip through the device tunnel costs tens of seconds).
+    """
+    if _is_jax(x):
+        import jax.numpy as jnp
+        return jnp.moveaxis(x, -1, -3)
+    return np.moveaxis(np.asarray(x), -1, -3)
+
+
+def to_nhwc(x):
+    """[..., C, H, W] -> [..., H, W, C] (device arrays stay on device)."""
+    if _is_jax(x):
+        import jax.numpy as jnp
+        return jnp.moveaxis(x, -3, -1)
+    return np.moveaxis(np.asarray(x), -3, -1)
 
 
 def save_identity(path, null_text_emb, init_noise, activations,

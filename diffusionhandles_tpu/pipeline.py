@@ -126,7 +126,9 @@ class DiffusionHandles:
             depth_transform_mode=self.conf.depth_transform_mode)
 
         init_noise = to_nhwc(np.asarray(init_noise, np.float32))
-        acts_nhwc = [to_nhwc(np.asarray(a, np.float32)) for a in activations]
+        # keep activation stacks on device if they already live there
+        # (~0.5 GB; transfers through the device tunnel dominate otherwise)
+        acts_nhwc = [to_nhwc(a) for a in activations]
         results = self.diffuser.guided_inference(
             latents=init_noise, depth=edited_disparity,
             uncond_embeddings=np.asarray(null_text_emb, np.float32),
