@@ -75,7 +75,8 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
                            config_path: Optional[str] = None,
                            variant: str = "sd2", img_res: int = 512,
                            depth_estimator=None, foreground_remover=None,
-                           handles=None, generate_webpage: bool = True):
+                           handles=None, generate_webpage: bool = True,
+                           batched: bool = False):
     """Run the full pipeline over a photogen manifest
     (reference: test_diffusion_handles.py:19-165)."""
     from diffusionhandles_tpu.config import load_config
@@ -158,6 +159,24 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
         save_image(np.moveaxis(np.asarray(recon)[0], -1, 0),
                    sample_out / "recon.png")
 
+        if batched:
+            # TPU-native path: all of this sample's transforms denoise as
+            # ONE vmapped batch (parallel/batch.py; no reference
+            # counterpart — the reference loops serially).
+            from diffusionhandles_tpu.parallel.batch import edit_batch
+            names = [t for t in transform_names if t in transforms]
+            todo = [t for t in names
+                    if not (skip_existing
+                            and (sample_out / f"{t}.png").exists())]
+            if todo:
+                imgs = edit_batch(
+                    handles, depth, prompt, fg_mask, bg_depth_h,
+                    null_text_emb, init_noise, activations,
+                    [transforms[t] for t in todo])
+                for t, img in zip(todo, imgs):
+                    save_image(img, sample_out / f"{t}.png")
+            continue
+
         for transform_name in transform_names:
             if transform_name not in transforms:
                 print(f"WARNING: Transform {transform_name} not found for "
@@ -218,12 +237,16 @@ def main():
     parser.add_argument("--cache_input_image_identity", action="store_true")
     parser.add_argument("--config_path", default=None)
     parser.add_argument("--variant", default="sd2")
+    parser.add_argument("--batched", action="store_true",
+                        help="denoise each sample's transforms as one "
+                             "vmapped batch")
     args = parser.parse_args()
     test_diffusion_handles(
         test_set_path=args.test_set_path, input_dir=args.input_dir,
         output_dir=args.output_dir, skip_existing=args.skip_existing,
         cache_input_image_identity=args.cache_input_image_identity,
-        config_path=args.config_path, variant=args.variant)
+        config_path=args.config_path, variant=args.variant,
+        batched=args.batched)
 
 
 if __name__ == "__main__":
