@@ -69,9 +69,16 @@ def process_correspondences(correspondences: np.ndarray, img_res: int,
     key = ((oy * latent_res + ox) * latent_res + ty) * latent_res + tx
     uniq, counts = np.unique(key, return_counts=True)
     if len(uniq) > max_corr:
-        raise ValueError(
-            f"{len(uniq)} unique correspondence pairs exceed max_corr="
-            f"{max_corr}; raise guided_diffuser.max_correspondences")
+        # Keep the highest-multiplicity pairs (their loss weight dominates);
+        # dropped tail pairs carry the least weight. Rare: needs > max_corr
+        # distinct (orig-cell, trans-cell) pairs on a 64^2 grid.
+        import warnings
+        order = np.argsort(-counts)[:max_corr]
+        warnings.warn(
+            f"truncating {len(uniq)} correspondence pairs to {max_corr} "
+            f"(dropped weight "
+            f"{counts.sum() - counts[order].sum()}/{counts.sum()})")
+        uniq, counts = uniq[order], counts[order]
     utx = uniq % latent_res
     uty = (uniq // latent_res) % latent_res
     uox = (uniq // (latent_res * latent_res)) % latent_res
