@@ -58,20 +58,34 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
             return jnp.concatenate([lat, depth_b], axis=-1)
         return lat
 
-    def energy(lat_b, unet_params, depth_b, cond_emb, step_idx, acts_t,
-               fgw_it, bgw_it, pc_b):
-        _, acts, _ = unet.apply(unet_params, model_in(lat_b, depth_b)[None],
-                                timesteps[step_idx], cond_emb)
-        loss = 0.0
-        for k in range(3):
-            loss = loss + fgw_it[k] * foreground_loss(
-                acts[k][0], acts_t[k], pc_b, fg_patch, act_size)
-            loss = loss + bgw_it[k] * background_loss(
-                acts[k][0], acts_t[k], pc_b, bg_patch, act_size,
-                bg_loss_type)
-        return loss
+    def batch_energy(latents, unet_params, depth64, cond_emb, step_idx,
+                     acts_t, fgw_it, bgw_it, pcs):
+        """Sum of per-sample guidance energies over ONE batched U-Net call.
 
-    grad_energy = jax.grad(energy)
+        Per-sample losses are independent, so grad of the sum w.r.t. the
+        batched latents IS the stack of per-sample grads — one batch-B
+        fwd+bwd instead of a vmap of B batch-1 passes.
+        """
+        b = latents.shape[0]
+        ctx = jnp.broadcast_to(cond_emb[0][None],
+                               (b,) + cond_emb[0].shape)
+        _, acts, _ = unet.apply(unet_params, model_in(latents, depth64),
+                                timesteps[step_idx], ctx)
+
+        def sample_loss(acts_b, pc_b):
+            loss = 0.0
+            for k in range(3):
+                loss = loss + fgw_it[k] * foreground_loss(
+                    acts_b[k], acts_t[k], pc_b, fg_patch, act_size)
+                loss = loss + bgw_it[k] * background_loss(
+                    acts_b[k], acts_t[k], pc_b, bg_patch, act_size,
+                    bg_loss_type)
+            return loss
+
+        losses = jax.vmap(sample_loss)(tuple(acts), pcs)
+        return jnp.sum(losses)
+
+    grad_energy = jax.grad(batch_energy)
 
     def cfg_batch(unet_params, latents, depth64, uncond_t, cond_emb,
                   step_idx):
@@ -99,10 +113,8 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
             step_idx, uncond_t, acts_t, fgw_t, bgw_t = xs
 
             def one_iter(it, lat):
-                g = jax.vmap(
-                    lambda lb, db, pb: grad_energy(
-                        lb, unet_params, db, cond_emb, step_idx, acts_t,
-                        fgw_t[it], bgw_t[it], pb))(lat, depth64, pcs)
+                g = grad_energy(lat, unet_params, depth64, cond_emb,
+                                step_idx, acts_t, fgw_t[it], bgw_t[it], pcs)
                 return lat - glr * g
 
             latents = jax.lax.fori_loop(0, num_optsteps, one_iter, latents)
