@@ -208,7 +208,9 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
 
     act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         conf.activation_store_dtype]
-    acts_orig = tuple(jnp.asarray(to_nhwc(np.asarray(a)), act_dtype)
+    # device-resident transpose/cast (the stacks are ~0.5 GB; forcing numpy
+    # here costs a device-tunnel round trip)
+    acts_orig = tuple(jnp.asarray(to_nhwc(a), act_dtype)
                       for a in activations)
 
     key = ("batched_guided", B, conf.num_optsteps, conf.guidance_max_step,
