@@ -206,37 +206,60 @@ class DiffhandlesPipeline:
         """Depth-transform-only preview (reference :290-532).
 
         mode='depth': normalized edited disparity image.
-        mode='rgb': the input image warped by the correspondences, with
-          disocclusions left dark (the reference renders colored depth
-          meshes; the correspondence warp shows the same geometry).
+        mode='rgb': render the colored depth meshes — bg mesh textured with
+          the background image, fg mesh with the input image, fg verts
+          rigidly transformed — with disocclusions darkened (reference
+          :472-519 renders the same scene with PyTorch3D).
         """
         from diffusionhandles_tpu.geometry.transform import transform_depth
         from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
         s = self.state
         if s.bg_depth is None:
             raise RuntimeError("set_foreground must run first")
-        disparity, corr = transform_depth(
-            s.depth, s.bg_depth, s.fg_mask,
-            GuidedStableDiffuser.get_depth_intrinsics(),
-            rot_angle=rot_angle, rot_axis=np.asarray(rot_axis, np.float32),
-            translation=np.asarray(translation, np.float32))
-        disparity = np.asarray(disparity)
+        K = GuidedStableDiffuser.get_depth_intrinsics()
         if mode == "depth":
+            disparity, _ = transform_depth(
+                s.depth, s.bg_depth, s.fg_mask, K,
+                rot_angle=rot_angle,
+                rot_axis=np.asarray(rot_axis, np.float32),
+                translation=np.asarray(translation, np.float32))
+            disparity = np.asarray(disparity)
             lo, hi = disparity.min(), disparity.max()
             return (disparity - lo) / max(hi - lo, 1e-9)
         if mode == "rgb":
+            from diffusionhandles_tpu.geometry.mesh import depth_to_mesh
+            from diffusionhandles_tpu.geometry.renderer import (
+                Camera, RasterRenderer, RasterRendererArgs)
+            from diffusionhandles_tpu.geometry.transform import \
+                transform_points
             img = s.img[0]  # [3, H, W]
             h, w = img.shape[-2:]
-            out = np.zeros_like(img)
-            # start from the background image if available
-            if s.bg_img is not None:
-                out = s.bg_img[0].copy()
-            else:
-                out = img.copy()
-            if len(corr):
-                ox, oy, tx, ty = corr.T
-                out[:, ty, tx] = img[:, oy, ox]
-            return out[None]
+            bg_img = s.bg_img[0] if s.bg_img is not None else img
+            mask2d = s.fg_mask.reshape(h, w) > 0.5
+
+            bg_mesh = depth_to_mesh(s.bg_depth, K)
+            bg_mesh.vert_attributes["color"] = \
+                bg_img.reshape(3, -1).T.astype(np.float32)
+            fg_mesh = depth_to_mesh(s.depth, K, mask=mask2d)
+            fg_mesh.vert_attributes["color"] = \
+                img.reshape(3, -1).T[mask2d.reshape(-1)].astype(np.float32)
+            fg_mesh.verts = np.asarray(transform_points(
+                fg_mesh.verts, rot_angle,
+                np.asarray(rot_axis, np.float32),
+                np.asarray(translation, np.float32)), np.float32)
+
+            renderer = RasterRenderer(
+                ["flat_vertex_color", "mask", "face_id"],
+                RasterRendererArgs(output_res=(h, w), cull_backfaces=True))
+            renderer.update_scene({
+                "meshes": [bg_mesh, fg_mesh],
+                "cameras": [Camera(intrinsics=K)]})
+            out = renderer.render()
+            rgb = out["flat_vertex_color"]
+            # disocclusion alpha: stretched bg triangles behind the moved
+            # object leave smeared colors; darken uncovered pixels
+            rgb = np.where(out["mask"][..., None], rgb, 0.15 * rgb)
+            return np.moveaxis(rgb, -1, 0)[None].astype(np.float32)
         raise ValueError(f"unknown preview mode {mode}")
 
 
