@@ -38,8 +38,14 @@ class ZoeDepthConfig:
     # ViT blocks whose tokens feed the 4 reassemble scales.
     hook_layers: Tuple[int, ...] = (2, 5, 8, 11)
     fusion_channels: int = 256
-    # metric bins head
+    # Metric-bins heads. The reference uses the `zoedepth_nk` variant
+    # (test/estimate_depth.py:18): TWO domain heads (N: indoor, K: outdoor)
+    # selected by a router on the bottleneck features. heads=1 gives the
+    # single-domain zoedepth variant.
     num_bins: int = 64
+    num_heads_nk: int = 2
+    head_depth_ranges: Tuple[Tuple[float, float], ...] = ((0.01, 10.0),
+                                                          (0.01, 80.0))
     min_depth: float = 0.01
     max_depth: float = 80.0
     dtype: Any = jnp.float32
@@ -136,14 +142,35 @@ class ZoeDepthModel(nn.Module):
                 x = resize_nhwc(x, (x.shape[1] * 2, x.shape[2] * 2),
                                 "bilinear")
 
-        # metric bins head: per-pixel softmax over log-spaced bin centers
+        # Metric-bins head(s): per-pixel softmax over log-spaced bin
+        # centers; with num_heads_nk > 1, a router on the pooled bottleneck
+        # picks the domain head (ZoeDepth-NK style; soft routing keeps the
+        # graph static and differentiable).
         x = nn.Conv(fc // 2, (3, 3), padding=1, name="head_conv1")(x)
         x = nn.relu(x)
-        logits = nn.Conv(cfg.num_bins, (1, 1), name="bin_logits")(x)
-        probs = jax.nn.softmax(logits, axis=-1)
-        centers = jnp.exp(jnp.linspace(np.log(cfg.min_depth),
-                                       np.log(cfg.max_depth), cfg.num_bins))
-        depth = jnp.einsum("bhwk,k->bhw", probs, centers)
+
+        n_heads = cfg.num_heads_nk
+        head_depths = []
+        for d_idx in range(n_heads):
+            lo, hi = (cfg.head_depth_ranges[d_idx]
+                      if d_idx < len(cfg.head_depth_ranges)
+                      else (cfg.min_depth, cfg.max_depth))
+            logits = nn.Conv(cfg.num_bins, (1, 1),
+                             name=f"bin_logits_{d_idx}")(x)
+            probs = jax.nn.softmax(logits, axis=-1)
+            centers = jnp.exp(jnp.linspace(np.log(lo), np.log(hi),
+                                           cfg.num_bins))
+            head_depths.append(jnp.einsum("bhwk,k->bhw", probs, centers))
+
+        if n_heads == 1:
+            depth = head_depths[0]
+        else:
+            pooled = jnp.mean(feats[3], axis=(1, 2))  # bottleneck features
+            route = nn.Dense(n_heads, name="router")(nn.relu(
+                nn.Dense(fc, name="router_fc")(pooled)))
+            route = jax.nn.softmax(route, axis=-1)  # [B, n_heads]
+            depth = jnp.einsum("dbhw,bd->bhw",
+                               jnp.stack(head_depths, axis=0), route)
 
         h, w = img.shape[1], img.shape[2]
         depth = resize_nhwc(depth[..., None], (h, w), "bilinear")[..., 0]
