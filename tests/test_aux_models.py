@@ -87,3 +87,17 @@ def test_text2img_tiny():
     assert img.min() >= 0.0 and img.max() <= 1.0
     np.testing.assert_array_equal(img, t2i.generate("a castle at sunset",
                                                     seed=7))
+
+
+def test_sam_promptable_segmenter():
+    from diffusionhandles_tpu.models.sam import PromptableSegmenter
+    seg = PromptableSegmenter()
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 3, 96, 96).astype(np.float32)
+    mask = seg.segment(img, points=[[48, 48]], labels=[1])
+    assert mask.shape == (1, 1, 96, 96)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    # deterministic + prompt-dependent
+    np.testing.assert_array_equal(mask, seg.segment(img, [[48, 48]], [1]))
+    mask2 = seg.segment(img, points=[[10, 80]], labels=[1])
+    assert mask2.shape == mask.shape
