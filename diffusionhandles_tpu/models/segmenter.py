@@ -88,8 +88,21 @@ class CLIPSegmenter(ForegroundSelector):
         sim = resize_nhwc(sim[..., None], (h, w), "bilinear")[..., 0]
         return np.asarray(sim)
 
-    def select_foreground(self, img: np.ndarray, prompt: str) -> np.ndarray:
+    def select_foreground(self, img: np.ndarray, prompt: str,
+                          refine_with=None) -> np.ndarray:
+        """Text-prompted mask. With `refine_with` (a PromptableSegmenter),
+        runs the two-stage LangSAM-style pipeline: CLIP grounding picks
+        point prompts at the similarity peaks, the SAM-style decoder
+        produces the final mask."""
         sim = self.similarity_map(img, prompt)[0]
+        if refine_with is not None:
+            h, w = sim.shape
+            # fg point: global similarity peak; bg point: global minimum
+            fy, fx = np.unravel_index(np.argmax(sim), sim.shape)
+            by, bx = np.unravel_index(np.argmin(sim), sim.shape)
+            return refine_with.segment(
+                img, points=[[int(fx), int(fy)], [int(bx), int(by)]],
+                labels=[1, 0])
         # adaptive threshold: Otsu-style split on the similarity histogram
         lo, hi = np.percentile(sim, [5, 95])
         thresh = (lo + hi) / 2
