@@ -101,3 +101,17 @@ def test_sam_promptable_segmenter():
     np.testing.assert_array_equal(mask, seg.segment(img, [[48, 48]], [1]))
     mask2 = seg.segment(img, points=[[10, 80]], labels=[1])
     assert mask2.shape == mask.shape
+
+
+def test_lpips_metric():
+    from diffusionhandles_tpu.models.lpips import LPIPSMetric
+    m = LPIPSMetric()
+    rng = np.random.RandomState(0)
+    a = rng.rand(3, 48, 48).astype(np.float32)
+    b = rng.rand(3, 48, 48).astype(np.float32)
+    assert m(a, a) < 1e-6                 # identity -> 0
+    d_ab = m(a, b)
+    assert d_ab > 0
+    # small perturbation < big perturbation
+    eps = a + 0.01 * rng.randn(3, 48, 48).astype(np.float32)
+    assert m(a, np.clip(eps, 0, 1)) < d_ab
