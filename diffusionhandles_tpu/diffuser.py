@@ -50,6 +50,7 @@ from diffusionhandles_tpu.models.vae import (AutoencoderKL, VAEConfig,
 from diffusionhandles_tpu.ops.resize import resize_nhwc
 from diffusionhandles_tpu.scheduler import (DDIMSchedule, add_noise,
                                             ddim_step, make_ddim_schedule)
+from diffusionhandles_tpu.utils.aot import AotStore
 from diffusionhandles_tpu.utils.rng import seeded_randn
 
 
@@ -138,7 +139,9 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
     clip, clip_params = init_clip_params(ccfg, seed=seed + 2)
     if ckpt_dir is not None:
         from diffusionhandles_tpu.models.weights import load_sd_checkpoint
-        unet_params, vae_params, clip_params = load_sd_checkpoint(ckpt_dir)
+        unet_params, vae_params, clip_params = load_sd_checkpoint(
+            ckpt_dir, expected_unet=unet_params, expected_vae=vae_params,
+            expected_text=clip_params)
         cast = lambda tree: jax.tree.map(
             lambda a: jnp.asarray(a, param_dtype)
             if np.asarray(a).dtype == np.float32 else jnp.asarray(a), tree)
@@ -215,8 +218,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
     def encode_prompt(self, prompt: str) -> jnp.ndarray:
         """CLIP-encode a prompt -> [1, 77, D] (jitted + memoized)."""
         if "text_apply" not in self._jit_cache:
-            self._jit_cache["text_apply"] = jax.jit(
-                self.models.text_encoder.apply)
+            self._jit_cache["text_apply"] = AotStore.default().wrap(
+                "text_apply", self.models.text_encoder.apply)
             self._jit_cache["prompt_embeds"] = {}
         cache = self._jit_cache["prompt_embeds"]
         if prompt not in cache:
@@ -234,7 +237,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
         (reference: stable_null_inverter.py:89-110)."""
         if "vae_encode" not in self._jit_cache:
             scaling = self.models.vae_config.scaling_factor
-            self._jit_cache["vae_encode"] = jax.jit(
+            self._jit_cache["vae_encode"] = AotStore.default().wrap(
+                f"vae_encode:{scaling}:{self.conf.dtype}",
                 lambda p, img: self.models.vae.apply(
                     p, img * 2.0 - 1.0,
                     method=AutoencoderKL.encode) * scaling)
@@ -246,7 +250,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
         (reference: guided_stable_diffuser.py:285-288,481-483)."""
         if "vae_decode" not in self._jit_cache:
             scaling = self.models.vae_config.scaling_factor
-            self._jit_cache["vae_decode"] = jax.jit(
+            self._jit_cache["vae_decode"] = AotStore.default().wrap(
+                f"vae_decode:{scaling}:{self.conf.dtype}",
                 lambda p, z: jnp.clip(
                     self.models.vae.apply(
                         p, z / scaling,
@@ -289,7 +294,6 @@ class GuidedStableDiffuser(GuidedDiffuser):
             self.conf.activation_store_dtype]
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
 
-        @jax.jit
         def run(unet_params, init_latents, depth64, uncond_seq, cond_emb):
             # uncond_seq: [T, 77, D]; cond_emb: [1, 77, D].
             def step(latents, xs):
@@ -312,7 +316,9 @@ class GuidedStableDiffuser(GuidedDiffuser):
             final_latents, acts = jax.lax.scan(step, init_latents, xs)
             return acts, final_latents
 
-        return run
+        return AotStore.default().wrap(
+            f"initial:{gs}:{self.conf.dtype}:"
+            f"{self.conf.activation_store_dtype}", run)
 
     def initial_inference(self, init_latents, depth, uncond_embeddings,
                           prompt: str):
@@ -387,7 +393,6 @@ class GuidedStableDiffuser(GuidedDiffuser):
 
         grad_energy = jax.grad(energy)
 
-        @jax.jit
         def run(unet_params, init_latents, depth64, uncond_seq, cond_emb,
                 acts_orig, fgw, bgw, pc):
             # acts_orig: tuple of 3 [T, H, W, C]; fgw/bgw: [gms, opt, 3].
@@ -432,7 +437,9 @@ class GuidedStableDiffuser(GuidedDiffuser):
                 steps = None
             return latents, steps
 
-        return run
+        return AotStore.default().wrap(
+            f"guided:{gs}:{glr}:{bg_loss_type}:{fg_patch}:{bg_patch}:"
+            f"{emit_steps}:{self.conf.dtype}", run)
 
     def guided_inference(self, latents, depth, uncond_embeddings,
                          prompt: str, activations_orig: Sequence,

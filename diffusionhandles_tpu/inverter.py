@@ -24,6 +24,7 @@ import optax
 
 from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
 from diffusionhandles_tpu.scheduler import ddim_next_step, ddim_step
+from diffusionhandles_tpu.utils.aot import AotStore
 
 
 class NullInverter:
@@ -56,7 +57,6 @@ class StableNullInverter(NullInverter):
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
         S = self.num_ddim_steps
 
-        @jax.jit
         def run(unet_params, latent0, depth64, cond_emb):
             def step(latent, i):
                 # reference iterates t = timesteps[S - i - 1]
@@ -71,7 +71,8 @@ class StableNullInverter(NullInverter):
             # all_latent = [x0] + 50 noised latents (reference :114-121).
             return jnp.concatenate([latent0[None], traj], axis=0)
 
-        return run
+        return AotStore.default().wrap(
+            f"ddim_loop:{S}:{model.conf.dtype}", run)
 
     def _build_null_optimization(self, num_inner_steps: int):
         model = self.model
@@ -104,7 +105,6 @@ class StableNullInverter(NullInverter):
 
         loss_and_grad = jax.value_and_grad(mse_loss)
 
-        @jax.jit
         def run(unet_params, latents_traj, depth64, uncond0, cond_emb,
                 epsilon):
             # latents_traj: [S+1, 1, h, w, 4] from ddim_loop.
@@ -158,7 +158,8 @@ class StableNullInverter(NullInverter):
                 (jnp.arange(S), latent_prev_seq))
             return uncond_seq  # [S, 1, 77, D]
 
-        return run
+        return AotStore.default().wrap(
+            f"null_opt:{S}:{num_inner_steps}:{gs}:{model.conf.dtype}", run)
 
     # ------------------------------------------------------------------
 

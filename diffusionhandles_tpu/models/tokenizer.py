@@ -182,14 +182,31 @@ class HashTokenizer:
 
 
 def load_tokenizer(checkpoint_dir: Optional[str],
-                   max_length: int = 77, vocab_size: int = 49408):
-    """Load the real CLIP tokenizer if vocab files exist, else the fallback
-    (with ids bounded by the text model's vocab size)."""
+                   max_length: int = 77, vocab_size: int = 49408,
+                   allow_hash_fallback: bool = False):
+    """Load the real CLIP tokenizer from `checkpoint_dir/tokenizer`.
+
+    With no checkpoint_dir (offline random-weight runs) the deterministic
+    HashTokenizer stand-in is returned. When a checkpoint_dir IS given but
+    its vocab files are missing, this FAILS instead of silently hashing the
+    prompts (real weights + hashed token ids would destroy the conditioning
+    without any visible error); pass allow_hash_fallback=True to override
+    knowingly.
+    """
     if checkpoint_dir is not None:
         tok_dir = pathlib.Path(checkpoint_dir) / "tokenizer"
         vocab = tok_dir / "vocab.json"
         merges = tok_dir / "merges.txt"
+        merges_gz = tok_dir / "merges.txt.gz"
+        if vocab.exists() and merges_gz.exists() and not merges.exists():
+            merges = merges_gz
         if vocab.exists() and merges.exists():
             return CLIPBPETokenizer(str(vocab), str(merges),
                                     max_length=max_length)
+        if not allow_hash_fallback:
+            raise FileNotFoundError(
+                f"checkpoint_dir given but tokenizer vocab files are missing "
+                f"({vocab}, {merges}); refusing the hash-tokenizer fallback "
+                f"with real weights. Pass allow_hash_fallback=True to "
+                f"override.")
     return HashTokenizer(vocab_size=vocab_size, max_length=max_length)

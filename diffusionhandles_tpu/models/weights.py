@@ -158,10 +158,43 @@ def convert_text_encoder(state: Dict[str, np.ndarray]) -> dict:
     return {"params": unflatten_dict(flat)}
 
 
-def load_sd_checkpoint(checkpoint_dir: str):
-    """Load (unet, vae, text_encoder) param trees from a diffusers layout."""
+def validate_bijection(converted: dict, expected: dict, what: str):
+    """Fail LOUDLY if the converted tree does not exactly cover the model's
+    init tree (an unmapped checkpoint key family would otherwise produce
+    silent garbage at apply time via an unflatten mismatch)."""
+    conv = flatten_dict(converted["params"])
+    init = flatten_dict(expected["params"])
+    missing = sorted(set(init) - set(conv))
+    orphans = sorted(set(conv) - set(init))
+    if missing or orphans:
+        raise ValueError(
+            f"{what} checkpoint conversion mismatch: "
+            f"{len(missing)} model params unassigned "
+            f"(e.g. {missing[:4]}), {len(orphans)} checkpoint keys "
+            f"unconsumed (e.g. {orphans[:4]}).")
+    shape_bad = [(k, conv[k].shape, init[k].shape) for k in init
+                 if tuple(conv[k].shape) != tuple(init[k].shape)]
+    if shape_bad:
+        raise ValueError(f"{what} checkpoint conversion shape mismatches: "
+                         f"{shape_bad[:4]}")
+
+
+def load_sd_checkpoint(checkpoint_dir: str, expected_unet: dict = None,
+                       expected_vae: dict = None, expected_text: dict = None):
+    """Load (unet, vae, text_encoder) param trees from a diffusers layout.
+
+    When `expected_*` init trees are given, each converted tree is validated
+    as an exact bijection onto the model structure (keys AND shapes) and the
+    load fails loudly on any mismatch.
+    """
     root = pathlib.Path(checkpoint_dir)
     unet = convert_unet(_load_torch_state_dict(root / "unet"))
     vae = convert_vae(_load_torch_state_dict(root / "vae"))
     text = convert_text_encoder(_load_torch_state_dict(root / "text_encoder"))
+    if expected_unet is not None:
+        validate_bijection(unet, expected_unet, "unet")
+    if expected_vae is not None:
+        validate_bijection(vae, expected_vae, "vae")
+    if expected_text is not None:
+        validate_bijection(text, expected_text, "text_encoder")
     return unet, vae, text

@@ -178,7 +178,7 @@ def _rasterize_big(verts_px, faces, big_idx, height: int, width: int,
         fid_buf = jnp.where(better, fidx, fid_buf)
         return (zbuf, fid_buf), None
 
-    zbuf0 = jnp.full((height, width), _BIG, jnp.float32)
+    zbuf0 = jnp.full((height, width), _INF, jnp.float32)
     fid0 = jnp.full((height, width), -1, jnp.int32)
     (zbuf, fid), _ = jax.lax.scan(body, (zbuf0, fid0), big_idx)
     return zbuf.reshape(-1), fid.reshape(-1)

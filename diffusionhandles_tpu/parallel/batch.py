@@ -137,13 +137,31 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
         return latents
 
     if mesh is not None:
+        from flax.traverse_util import flatten_dict, unflatten_dict
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from diffusionhandles_tpu.parallel.sharding import param_spec
+
         batch_sharding = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
+        if mesh.shape.get("model", 1) > 1:
+            # Tensor-parallel parameter shardings (Megatron-style specs from
+            # parallel/sharding.py), replicating non-divisible leaves.
+            flat = flatten_dict(diffuser.models.unet_params)
+            pshard = {}
+            for key, value in flat.items():
+                spec = param_spec(key, value)
+                ok = all(a is None or value.shape[d] % mesh.shape[a] == 0
+                         for d, a in enumerate(spec))
+                pshard[key] = NamedSharding(mesh, spec if ok else P())
+            params_sharding = unflatten_dict(pshard)
+        else:
+            params_sharding = jax.tree.map(
+                lambda _: rep, diffuser.models.unet_params)
         return jax.jit(
             run_fn,
-            in_shardings=(rep, batch_sharding, batch_sharding, rep, rep,
-                          rep, rep, rep,
+            in_shardings=(params_sharding, batch_sharding, batch_sharding,
+                          rep, rep, rep, rep, rep,
                           jax.tree.map(lambda _: batch_sharding,
                                        ProcessedCorrespondences(
                                            *[0] * 8))),
@@ -214,7 +232,8 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
                       for a in activations)
 
     key = ("batched_guided", B, conf.num_optsteps, conf.guidance_max_step,
-           conf.bg_loss_type, mesh is not None)
+           conf.bg_loss_type,
+           tuple(mesh.shape.items()) if mesh is not None else None)
     if key not in d._jit_cache:
         d._jit_cache[key] = build_batched_guided_inference(
             d, conf.num_optsteps, conf.guidance_max_step,

@@ -20,6 +20,17 @@ def main():
     parser.add_argument("--netpath", default="")
     args = parser.parse_args()
 
+    # Multi-host placement: join the JAX multi-controller runtime when the
+    # launcher set the env contract (SURVEY.md section 5.8(b)); must happen
+    # before any JAX device use.
+    from diffusionhandles_tpu.parallel.distributed import maybe_init_from_env
+    dist = maybe_init_from_env()
+    if dist is not None:
+        print(f"joined distributed runtime: process "
+              f"{dist['process_id']}/{dist['num_processes']}, "
+              f"{dist['local_devices']} local / {dist['global_devices']} "
+              f"global devices")
+
     from diffusionhandles_tpu.service import services, pipeline_app
     defaults = {"pipeline": 8888, "diffhandles": 8889, "depth": 8890,
                 "remover": 8891, "selector": 8892, "text2img": 8893}

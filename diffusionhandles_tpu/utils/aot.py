@@ -1,0 +1,205 @@
+"""AOT compiled-executable store.
+
+The XLA persistent compilation cache removes recompiles, but a fresh process
+still pays minutes of per-program tracing/loading at startup on this device
+runtime (round-1 measured ~968 s of warmup for the full pipeline). This
+module serializes *compiled executables* (`jax.experimental
+.serialize_executable`) keyed by (package code hash, function name, argument
+avals, device fingerprint) so a fresh process can load them directly.
+
+No reference counterpart: the reference's startup cost is HF checkpoint
+loading plus CUDA kernel JIT, both cached by their runtimes
+(reference: diffhandles/guided_stable_diffuser.py:26-36). On TPU this is the
+idiomatic equivalent of shipping precompiled programs.
+
+Usage:
+    aot = AotStore.default()          # repo-level .jax_aot dir (or None)
+    fn = aot.wrap("guided_v1", jitted_or_plain_fn)
+    out = fn(*args)                   # loads from store or compiles+saves
+
+Invalidation: the key includes a hash over every .py file in the package, so
+ANY source change invalidates all stored executables (correctness first).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import pathlib
+import pickle
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+
+# Modules that define the jitted compute graphs this store serializes.
+# Editing any of them invalidates every stored executable; unrelated modules
+# (services, testset, aux models) don't churn the cache.
+_COMPUTE_PATH = (
+    "diffuser.py", "inverter.py", "scheduler.py", "guidance.py",
+    "models/unet.py", "models/vae.py", "models/clip_text.py",
+    "ops/attention.py", "ops/resize.py",
+    "parallel/batch.py", "parallel/sharding.py", "utils/aot.py",
+)
+
+
+def _package_code_hash() -> str:
+    root = pathlib.Path(__file__).resolve().parents[1]
+    h = hashlib.sha256()
+    for rel in _COMPUTE_PATH:
+        p = root / rel
+        if p.exists():
+            h.update(rel.encode())
+            h.update(p.read_bytes())
+    return h.hexdigest()[:16]
+
+
+@functools.lru_cache()
+def _device_fingerprint() -> str:
+    devs = jax.devices()
+    return f"{devs[0].platform}:{devs[0].device_kind}:{len(devs)}:" \
+           f"{jax.__version__}"
+
+
+def _aval_sig(tree) -> str:
+    leaves, treedef = jax.tree.flatten(tree)
+    parts = [str(treedef)]
+    for leaf in leaves:
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            parts.append(f"{tuple(leaf.shape)}:{np.dtype(leaf.dtype)}")
+        else:
+            parts.append(f"py:{type(leaf).__name__}:{leaf!r}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _resharding_call(compiled):
+    """Wrap a deserialized executable so inputs are placed on its expected
+    input shardings first (deserialize_and_load can restore a program with a
+    different device assignment than the caller's uncommitted arrays)."""
+    try:
+        in_shardings = compiled.input_shardings[0]
+    except Exception:
+        return compiled
+
+    def call(*args):
+        leaves, treedef = jax.tree.flatten(args)
+        if len(leaves) == len(in_shardings):
+            leaves = [x if s is None else jax.device_put(x, s)
+                      for x, s in zip(leaves, in_shardings)]
+            args = jax.tree.unflatten(treedef, leaves)
+        return compiled(*args)
+
+    return call
+
+
+class AotStore:
+    """Directory-backed store of serialized compiled executables."""
+
+    _default: Optional["AotStore"] = None
+
+    def __init__(self, directory: Optional[str]):
+        self.dir = pathlib.Path(directory) if directory else None
+        if self.dir is not None:
+            self.dir.mkdir(parents=True, exist_ok=True)
+        self._code_hash = None
+        self.stats = {"hits": 0, "misses": 0, "errors": 0}
+
+    @classmethod
+    def default(cls) -> "AotStore":
+        """Repo-level store; disable with DIFFHANDLES_AOT_DIR=''."""
+        if cls._default is None:
+            env = os.environ.get("DIFFHANDLES_AOT_DIR")
+            if env == "":
+                cls._default = cls(None)
+            else:
+                d = env or str(pathlib.Path(__file__).resolve().parents[2]
+                               / ".jax_aot")
+                cls._default = cls(d)
+        return cls._default
+
+    def _key(self, name: str, args) -> str:
+        if self._code_hash is None:
+            self._code_hash = _package_code_hash()
+        raw = f"{self._code_hash}|{_device_fingerprint()}|{name}|" \
+              f"{_aval_sig(args)}"
+        return hashlib.sha256(raw.encode()).hexdigest()[:32]
+
+    def _load(self, key: str):
+        if self.dir is None:
+            return None
+        path = self.dir / f"{key}.aot"
+        if not path.exists():
+            return None
+        try:
+            from jax.experimental.serialize_executable import \
+                deserialize_and_load
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree, device_ids = pickle.load(f)
+            by_id = {d.id: d for d in jax.devices()}
+            exec_devices = [by_id[i] for i in device_ids]
+            compiled = deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=exec_devices)
+            self.stats["hits"] += 1
+            return _resharding_call(compiled)
+        except Exception:
+            self.stats["errors"] += 1
+            try:
+                path.unlink()
+            except OSError:
+                pass
+            return None
+
+    def _save(self, key: str, compiled) -> None:
+        if self.dir is None:
+            return
+        try:
+            from jax.experimental.serialize_executable import serialize
+            payload, in_tree, out_tree = serialize(compiled)
+            # deserialize_and_load defaults execution_devices to ALL backend
+            # devices; record the program's real device assignment so a
+            # 1-device program loads back as a 1-device program.
+            device_ids = [
+                d.id for d in
+                compiled._executable.xla_executable.local_devices()]
+            tmp = self.dir / f".{key}.tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree, device_ids), f)
+            tmp.replace(self.dir / f"{key}.aot")
+        except Exception:
+            self.stats["errors"] += 1
+
+    def wrap(self, name: str, fn: Callable) -> Callable:
+        """Wrap a jittable function: per call-signature, load the compiled
+        executable from the store or compile once and save it.
+
+        The wrapped callable accepts array pytrees only (every leaf must be
+        a jax/numpy array or a python scalar with stable repr).
+        """
+        jitted = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(fn)
+        compiled_cache: Dict[str, Any] = {}
+
+        @functools.wraps(getattr(fn, "__wrapped__", fn))
+        def call(*args):
+            if self.dir is None or (
+                    jax.default_backend() == "cpu"
+                    and not os.environ.get("DIFFHANDLES_AOT_CPU")):
+                # XLA:CPU AOT blobs embed machine features and may SIGILL on
+                # a different host; CPU (test) runs use the plain jit path +
+                # the persistent compilation cache instead.
+                return jitted(*args)
+            key = self._key(name, args)
+            compiled = compiled_cache.get(key)
+            if compiled is None:
+                compiled = self._load(key)
+            if compiled is None:
+                self.stats["misses"] += 1
+                compiled = jitted.lower(*args).compile()
+                self._save(key, compiled)
+            compiled_cache[key] = compiled
+            return compiled(*args)
+
+        call.aot_name = name
+        return call

@@ -1,0 +1,67 @@
+"""AOT executable store: save, fresh-store load, invalidation, fallback."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusionhandles_tpu.utils.aot import AotStore
+
+
+@pytest.fixture()
+def cpu_aot(monkeypatch):
+    monkeypatch.setenv("DIFFHANDLES_AOT_CPU", "1")
+
+
+def test_store_roundtrip(tmp_path, cpu_aot):
+    store = AotStore(str(tmp_path))
+    fn = store.wrap("mm", lambda x, y: (x @ y, None))
+    a = jnp.asarray(np.random.RandomState(0).randn(8, 8), jnp.float32)
+    out, none = fn(a, a)
+    assert none is None
+    assert store.stats["misses"] == 1
+    assert list(tmp_path.glob("*.aot"))
+
+    # a fresh store (fresh process equivalent) loads without compiling
+    store2 = AotStore(str(tmp_path))
+    fn2 = store2.wrap("mm", lambda x, y: (x @ y, None))
+    out2, _ = fn2(a, a)
+    assert store2.stats == {"hits": 1, "misses": 0, "errors": 0}
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_distinct_signatures_get_distinct_entries(tmp_path, cpu_aot):
+    store = AotStore(str(tmp_path))
+    fn = store.wrap("mm", lambda x: x * 2)
+    fn(jnp.zeros((4,), jnp.float32))
+    fn(jnp.zeros((8,), jnp.float32))
+    fn(jnp.zeros((4,), jnp.bfloat16))
+    assert store.stats["misses"] == 3
+    assert len(list(tmp_path.glob("*.aot"))) == 3
+
+
+def test_corrupt_entry_falls_back_to_compile(tmp_path, cpu_aot):
+    store = AotStore(str(tmp_path))
+    fn = store.wrap("mm", lambda x: x + 1)
+    x = jnp.zeros((4,), jnp.float32)
+    fn(x)
+    path = next(tmp_path.glob("*.aot"))
+    path.write_bytes(b"garbage")
+    store2 = AotStore(str(tmp_path))
+    out = store2.wrap("mm", lambda x: x + 1)(x)
+    np.testing.assert_array_equal(np.asarray(out), np.ones(4, np.float32))
+    assert store2.stats["errors"] >= 1
+    assert store2.stats["misses"] == 1
+
+
+def test_disabled_on_cpu_by_default(tmp_path, monkeypatch):
+    monkeypatch.delenv("DIFFHANDLES_AOT_CPU", raising=False)
+    if jax.default_backend() != "cpu":
+        pytest.skip("cpu-only behavior")
+    store = AotStore(str(tmp_path))
+    fn = store.wrap("mm", lambda x: x + 1)
+    fn(jnp.zeros((4,), jnp.float32))
+    assert not list(tmp_path.glob("*.aot"))
+    assert store.stats["misses"] == 0
