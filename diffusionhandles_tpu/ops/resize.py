@@ -46,11 +46,16 @@ def resize_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
         return np.eye(in_size, dtype=np.float32)
     scale = in_size / out_size
     dst = np.arange(out_size, dtype=np.float64)
-    src = (dst + 0.5) * scale - 0.5
+    if method == "bilinear_ac":
+        # torch align_corners=True: src = i * (in-1)/(out-1)
+        # (the MiDaS/ZoeDepth fusion convention)
+        src = dst * ((in_size - 1) / max(out_size - 1, 1))
+    else:
+        src = (dst + 0.5) * scale - 0.5
     i0 = np.floor(src).astype(np.int64)
     t = src - i0
 
-    if method == "bilinear":
+    if method in ("bilinear", "bilinear_ac"):
         offsets = np.array([0, 1])
         weights = np.stack([1.0 - t, t], axis=-1)  # [out, 2]
     elif method == "bicubic":

@@ -43,7 +43,13 @@ def main():
         app = pipeline_app.DiffhandlesPipelineWebapp(port=port,
                                                      netpath=args.netpath)
     elif args.service == "depth":
-        app = services.DepthEstimatorWebapp(port=port, netpath=args.netpath)
+        estimator = None
+        if args.variant == "tiny":
+            from diffusionhandles_tpu.models.zoedepth import (
+                ZoeDepthEstimator, tiny_zoedepth_config)
+            estimator = ZoeDepthEstimator(tiny_zoedepth_config())
+        app = services.DepthEstimatorWebapp(estimator=estimator, port=port,
+                                            netpath=args.netpath)
     elif args.service == "remover":
         app = services.ForegroundRemoverWebapp(port=port,
                                                netpath=args.netpath)
