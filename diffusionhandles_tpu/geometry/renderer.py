@@ -20,6 +20,9 @@ outputs from the winner buffer:
   'global_volume_texture' 3D texture sampled at world positions
                        (FlatGlobalVolumeTextureShader, reference :400-450)
   'face_id'            winning face index
+  'alpha'              coverage: binary (hard blend) or soft sigmoid
+                       blending over faces_per_pixel fragments
+                       (sigmoid_alpha_blend, reference :341-358)
 """
 
 from __future__ import annotations
@@ -32,8 +35,11 @@ import numpy as np
 
 from diffusionhandles_tpu.geometry.mesh import Mesh
 from diffusionhandles_tpu.geometry.mesh_transform import merge_meshes
-from diffusionhandles_tpu.ops.rasterize import (interpolate_attribute,
-                                                project_verts, rasterize)
+from diffusionhandles_tpu.ops.rasterize import (RasterOut,
+                                                interpolate_attribute,
+                                                project_verts, rasterize,
+                                                rasterize_k,
+                                                sigmoid_alpha_blend)
 
 
 @dataclasses.dataclass
@@ -60,11 +66,24 @@ class Renderer:
 
 @dataclasses.dataclass
 class RasterRendererArgs:
-    """(reference: PyTorch3DRendererArgs, pytorch3d_renderer.py:31-53)."""
+    """(reference: PyTorch3DRendererArgs, pytorch3d_renderer.py:31-53).
+
+    blend_type 'hard' (top-1 fragment) or 'sigmoid' (PyTorch3D
+    sigmoid_alpha_blend: channel values come from the closest fragment,
+    coverage becomes a soft alpha; exposed as the 'alpha' output layer).
+    blend_gamma is accepted for config parity but unused by sigmoid
+    blending (it parameterizes softmax blending, which the reference never
+    selects). blur_radius is in NDC^2 units like PyTorch3D."""
 
     output_res: Tuple[int, int] = (512, 512)
     cull_backfaces: bool = False
     z_near: float = 0.1
+    faces_per_pixel: int = 1
+    blur_radius: float = 0.0
+    blend_type: str = "hard"
+    blend_sigma: float = 1e-4
+    blend_gamma: float = 1e-4
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
 class RasterRenderer(Renderer):
@@ -116,14 +135,43 @@ class RasterRenderer(Renderer):
             cam_verts = verts
         focal = float(np.asarray(cam.intrinsics)[0, 0])
         verts_px = project_verts(jnp.asarray(cam_verts), focal, h, w)
-        raster = rasterize(verts_px, jnp.asarray(mesh.faces), h, w,
-                           cull_backfaces=self.args.cull_backfaces,
-                           z_near=self.args.z_near)
+        soft = (self.args.blend_type == "sigmoid"
+                or self.args.faces_per_pixel > 1
+                or self.args.blur_radius > 0)
+        kraster = None
+        if soft:
+            if self.args.blend_type not in ("hard", "sigmoid"):
+                raise ValueError(
+                    f"Unsupported blend type: {self.args.blend_type}")
+            kraster = rasterize_k(
+                verts_px, jnp.asarray(mesh.faces), h, w,
+                faces_per_pixel=self.args.faces_per_pixel,
+                blur_radius=self.args.blur_radius,
+                cull_backfaces=self.args.cull_backfaces,
+                z_near=self.args.z_near)
+            # level-0 fragment drives the channel shaders (PyTorch3D's
+            # sigmoid_alpha_blend keeps the closest fragment's values)
+            raster = RasterOut(face_id=kraster.face_id[0],
+                               bary=kraster.bary[0],
+                               zbuf=kraster.zbuf[0])
+        else:
+            raster = rasterize(verts_px, jnp.asarray(mesh.faces), h, w,
+                               cull_backfaces=self.args.cull_backfaces,
+                               z_near=self.args.z_near)
 
         faces = np.asarray(mesh.faces)
         out: Dict[str, np.ndarray] = {}
         covered = np.asarray(raster.face_id) >= 0
         for name in self.output_names:
+            if name == "alpha":
+                # hard blend: binary coverage (reference hard_rgb_blend's
+                # alpha); sigmoid: soft coverage over the K fragments
+                if self.args.blend_type == "sigmoid":
+                    out[name] = np.asarray(sigmoid_alpha_blend(
+                        kraster, self.args.blend_sigma))
+                else:
+                    out[name] = covered.astype(np.float32)
+                continue
             if name == "depth":
                 out[name] = np.asarray(raster.zbuf)
             elif name == "mask":
@@ -150,8 +198,12 @@ class RasterRenderer(Renderer):
                 color = mesh.vert_attributes.get("color")
                 if color is None:
                     raise ValueError("mesh has no 'color' attribute")
-                out[name] = np.asarray(interpolate_attribute(
+                img = np.array(interpolate_attribute(
                     raster, faces, np.asarray(color, np.float32)))
+                bg = np.asarray(self.args.background_color, np.float32)
+                if img.shape[-1] == bg.shape[0]:
+                    img[~covered] = bg
+                out[name] = img
             elif name == "uv_texture":
                 uv = mesh.vert_attributes.get("uv")
                 if uv is None or self._uv_texture is None:

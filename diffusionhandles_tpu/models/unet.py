@@ -61,6 +61,9 @@ class UNetConfig:
     # Use the Pallas flash-attention kernel for long self-attention
     # sequences (>=512 tokens); short cross-attention stays dense.
     flash_attention: bool = False
+    # Run the decoder's concat-skip convs as two summed half-kernel convs
+    # (identical math and parameter tree; see SplitInputConv).
+    split_skip_conv: bool = False
 
 
 def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
@@ -75,11 +78,52 @@ def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
                            axis=-1)
 
 
+class SplitInputConv(nn.Module):
+    """An nn.Conv (same parameter tree: one [kh, kw, Cin, F] kernel) whose
+    forward splits the input channels at `split_at` and runs two summed
+    convolutions. Used for the decoder's concat-skip convs: the monolithic
+    [3,3,2560,1280] kernels otherwise dominate per-step weight staging on
+    TPU (device-trace finding, PERFORMANCE.md); two ~30 MB halves pipeline
+    where one 59 MB kernel cannot."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    split_at: int
+    padding: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        ka = jax.lax.slice_in_dim(kernel, 0, self.split_at, axis=2)
+        kb = jax.lax.slice_in_dim(kernel, self.split_at, cin, axis=2)
+        xa = x[..., :self.split_at].astype(self.dtype)
+        xb = x[..., self.split_at:].astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            xa.shape, ka.shape, ("NHWC", "HWIO", "NHWC"))
+        pad = [(self.padding, self.padding)] * 2
+        ya = jax.lax.conv_general_dilated(
+            xa, ka.astype(self.dtype), (1, 1), pad, dimension_numbers=dn)
+        yb = jax.lax.conv_general_dilated(
+            xb, kb.astype(self.dtype), (1, 1), pad, dimension_numbers=dn)
+        return ya + yb + bias.astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     groups: int = 32
+    # when >0: input is concat(trunk, skip) with the boundary at split_at;
+    # conv1/conv_shortcut run as two summed convs (identical math & params)
+    split_at: int = 0
 
     @nn.compact
     def __call__(self, x, temb):
@@ -88,8 +132,16 @@ class ResnetBlock(nn.Module):
                          dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv1")(h)
+        if self.split_at > 0:
+            h = SplitInputConv(self.out_channels, (3, 3),
+                               split_at=self.split_at, padding=1,
+                               dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="conv1")(h)
+        else:
+            h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      param_dtype=self.param_dtype,
                      name="time_emb_proj")(nn.silu(temb).astype(self.dtype))
@@ -101,9 +153,17 @@ class ResnetBlock(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
-            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                               param_dtype=self.param_dtype,
-                               name="conv_shortcut")(residual)
+            if self.split_at > 0:
+                residual = SplitInputConv(
+                    self.out_channels, (1, 1), split_at=self.split_at,
+                    padding=0, dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="conv_shortcut")(residual)
+            else:
+                residual = nn.Conv(self.out_channels, (1, 1),
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="conv_shortcut")(residual)
         return h + residual
 
 
@@ -299,14 +359,18 @@ class UpBlock(nn.Module):
     use_flash: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    split_skip_conv: bool = False
 
     @nn.compact
     def __call__(self, x, skips, temb, context, capture_probs: bool = False):
         probs = []
         for i in range(self.num_layers):
+            trunk_ch = x.shape[-1]
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
             x = ResnetBlock(self.out_channels, dtype=self.dtype,
                             param_dtype=self.param_dtype,
+                            split_at=(trunk_ch if self.split_skip_conv
+                                      else 0),
                             name=f"resnets_{i}")(x, temb)
             if self.num_heads:
                 x, p = Transformer2D(
@@ -440,6 +504,7 @@ class UNet2DCondition(nn.Module):
                 cross_attention_dim=cfg.cross_attention_dim,
                 use_linear_projection=cfg.use_linear_projection,
                 use_flash=cfg.flash_attention,
+                split_skip_conv=cfg.split_skip_conv,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"up_blocks_{i}")(x, block_skips, temb, context,
                                        capture_attention)

@@ -65,16 +65,22 @@ def main():
     vg_ctx_dense = jax.jit(jax.value_and_grad(loss_ctx_dense))
     vg_lat_flash = jax.jit(jax.value_and_grad(loss_lat))
 
+    import sys
+    todo = [
+        ("fwd_flash_b1", fwd_flash, (params, x1, ctx1)),
+        ("fwd_flash_b2", fwd_flash, (params, x2, ctx2)),
+        ("vg_ctx_flash_b1", vg_ctx_flash, (ctx1, params, x1)),
+        ("vg_lat_flash_b1", vg_lat_flash, (x1, params, ctx1)),
+    ]
+    if "--dense" in sys.argv:
+        todo += [("fwd_dense_b1", fwd_dense, (params, x1, ctx1)),
+                 ("vg_ctx_dense_b1", vg_ctx_dense, (ctx1, params, x1))]
     print("compiling...", flush=True)
-    results = {}
-    results["fwd_flash_b1"] = timeit(fwd_flash, params, x1, ctx1)
-    results["fwd_flash_b2"] = timeit(fwd_flash, params, x2, ctx2)
-    results["fwd_dense_b1"] = timeit(fwd_dense, params, x1, ctx1)
-    results["vg_ctx_flash_b1"] = timeit(vg_ctx_flash, ctx1, params, x1)
-    results["vg_ctx_dense_b1"] = timeit(vg_ctx_dense, ctx1, params, x1)
-    results["vg_lat_flash_b1"] = timeit(vg_lat_flash, x1, params, ctx1)
-    for k, v in results.items():
-        print(f"{k:>20}: {v * 1e3:8.2f} ms", flush=True)
+    for name, fn, args in todo:
+        t0 = time.perf_counter()
+        v = timeit(fn, *args)
+        print(f"{name:>20}: {v * 1e3:8.2f} ms  "
+              f"(incl compile {time.perf_counter() - t0:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":

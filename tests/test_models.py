@@ -158,3 +158,28 @@ def test_timestep_embedding_matches_diffusers_formula():
     want = np.concatenate([np.cos(arg), np.sin(arg)], axis=-1)
     # fp32 sin/cos at large phases (t=980) costs ~5e-5 absolute.
     np.testing.assert_allclose(emb, want, rtol=1e-4, atol=1e-4)
+
+
+def test_split_skip_conv_matches_monolithic():
+    """split_skip_conv=True (two summed half-kernel convs in the decoder)
+    is a pure forward-path rewrite: same parameter tree, same outputs."""
+    import dataclasses
+
+    cfg = tiny_unet_config()
+    model, params = init_unet_params(cfg, seed=0)
+    model_split = UNet2DCondition(dataclasses.replace(
+        cfg, split_skip_conv=True))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, cfg.sample_size, cfg.sample_size,
+                              cfg.in_channels), jnp.float32)
+    t = jnp.int32(321)
+    ctx = jnp.asarray(rng.randn(1, 77, cfg.cross_attention_dim),
+                      jnp.float32)
+    eps_a, acts_a, _ = jax.jit(model.apply)(params, x, t, ctx)
+    eps_b, acts_b, _ = jax.jit(model_split.apply)(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
+                               atol=2e-5, rtol=0)
+    for a, b in zip(acts_a, acts_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=0)
