@@ -66,20 +66,24 @@ def dot_product_attention(q, k, v, *, return_probs: bool = False,
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
                   block_k):
-    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, d]
+    # Matmuls run in the INPUT dtype (bf16 in the pipeline -> MXU-native
+    # rate; fp32 MXU passes are ~8x slower) with fp32 accumulation; the
+    # softmax state stays fp32.
+    q = q_ref[0]  # [block_q, d]
     block_q, d = q.shape
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((block_q, d), jnp.float32)
@@ -148,19 +152,19 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          dq_ref, *, scale, kv_len, block_k):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][:, :1]      # [block_q, 1] (lane-padded buffer)
     delta = delta_ref[0][:, :1]
     block_q, d = q.shape
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, kv_len // block_k, body,
@@ -170,21 +174,22 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dk_ref, dv_ref, *, scale, q_len, block_q):
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     block_k, d = k.shape
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :1]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :1]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)  # [block_q, block_k]
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dv = dv + jnp.dot(p.T.astype(do.dtype), do,
+                          preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
         return dk, dv
 

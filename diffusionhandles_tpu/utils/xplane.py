@@ -64,13 +64,19 @@ def _parse_event(buf: bytes) -> Tuple[int, int]:
     return mid, dur
 
 
-def _parse_line(buf: bytes) -> List[Tuple[int, int]]:
-    """XLine: events=4 (messages)."""
+def _parse_line(buf: bytes) -> Tuple[str, List[Tuple[int, int]]]:
+    """XLine: name=2, display_name=11, events=4 (messages)."""
     events = []
+    name = ""
+    display = ""
     for field, wire, val in _fields(buf):
         if field == 4 and wire == 2:
             events.append(_parse_event(val))
-    return events
+        elif field == 2 and wire == 2:
+            name = val.decode("utf-8", "replace")
+        elif field == 11 and wire == 2:
+            display = val.decode("utf-8", "replace")
+    return (display or name), events
 
 
 def _parse_event_metadata(buf: bytes) -> Tuple[int, str]:
@@ -121,17 +127,22 @@ def parse_xplane(path) -> Dict[str, List[dict]]:
             elif pfield == 4 and pwire == 2:
                 key, mname = _parse_metadata_entry(pval)
                 meta[key] = mname
-        total = defaultdict(float)
-        count = defaultdict(int)
+        by_line: Dict[str, dict] = {}
         for line_buf in lines:
-            for mid, dur in _parse_line(line_buf):
+            lname, events = _parse_line(line_buf)
+            slot = by_line.setdefault(
+                lname, {"total": defaultdict(float),
+                        "count": defaultdict(int)})
+            for mid, dur in events:
                 opname = meta.get(mid, f"op_{mid}")
-                total[opname] += dur / 1e6  # ps -> us
-                count[opname] += 1
-        planes_out[name] = sorted(
-            ({"name": k, "total_us": v, "count": count[k]}
-             for k, v in total.items()),
-            key=lambda d: -d["total_us"])
+                slot["total"][opname] += dur / 1e6  # ps -> us
+                slot["count"][opname] += 1
+        planes_out[name] = {
+            lname: sorted(
+                ({"name": k, "total_us": v, "count": slot["count"][k]}
+                 for k, v in slot["total"].items()),
+                key=lambda d: -d["total_us"])
+            for lname, slot in by_line.items()}
     return planes_out
 
 
@@ -143,16 +154,18 @@ def report(trace_dir, top: int = 25, device_only: bool = True) -> str:
         return f"no xplane.pb files under {trace_dir}"
     out = []
     planes = parse_xplane(files[-1])
-    for pname, ops in planes.items():
+    for pname, by_line in planes.items():
         if device_only and not ("TPU" in pname or "Device" in pname
                                 or "/device" in pname.lower()):
             continue
-        total = sum(o["total_us"] for o in ops) or 1.0
-        out.append(f"== {pname} (total {total / 1e3:.2f} ms across ops)")
-        for o in ops[:top]:
-            out.append(f"  {o['total_us']:10.1f} us  "
-                       f"{100 * o['total_us'] / total:5.1f}%  "
-                       f"x{o['count']:<5d} {o['name'][:100]}")
+        for lname, ops in by_line.items():
+            total = sum(o["total_us"] for o in ops) or 1.0
+            out.append(f"== {pname} / line '{lname}' "
+                       f"(total {total / 1e3:.2f} ms across ops)")
+            for o in ops[:top]:
+                out.append(f"  {o['total_us']:10.1f} us  "
+                           f"{100 * o['total_us'] / total:5.1f}%  "
+                           f"x{o['count']:<5d} {o['name'][:100]}")
     if not out:
         # fall back to all planes
         return report(trace_dir, top=top, device_only=False)

@@ -24,11 +24,11 @@ from diffusionhandles_tpu.models.unet import (UNet2DCondition, UNetConfig,
 def timeit(fn, *args, n=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    jax.tree.map(np.asarray, out)  # host sync (block_until_ready can lie
+    t0 = time.perf_counter()       # on this device runtime)
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    jax.tree.map(np.asarray, out)
     return (time.perf_counter() - t0) / n
 
 
