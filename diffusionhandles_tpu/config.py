@@ -66,6 +66,9 @@ class GuidedDiffuserConfig:
     # energy (trades FLOPs for HBM). Batch-1 64^2 guidance fits HBM without
     # remat, so the default favors speed (bwd ~2.2x fwd instead of ~3x).
     remat_guidance: bool = False
+    # Pallas flattened-shift kernel for eligible 3x3 convs (ops/conv.py);
+    # applied only on TPU backends (XLA conv path elsewhere).
+    pallas_conv: bool = True
 
 
 @dataclasses.dataclass

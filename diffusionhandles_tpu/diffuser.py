@@ -126,6 +126,9 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
         ccfg = tiny_clip_config()
     else:
         in_ch = 5 if conf.use_depth else 4
+        # NOTE: pallas_conv is only enabled on the no-grad model
+        # (`unet_fast` below): measured fwd-only win, but its custom-VJP
+        # backward is slower than XLA's conv dgrad (26.4 -> 29.7 ms/step).
         ucfg = UNetConfig(in_channels=in_ch, dtype=dtype,
                           param_dtype=param_dtype,
                           remat=conf.remat_guidance,
@@ -167,11 +170,19 @@ class GuidedStableDiffuser(GuidedDiffuser):
         # The flash-attention Pallas kernels (fwd + FlashAttention-2 bwd)
         # are faster than dense attention in both no-grad and grad paths at
         # SD2's 4096-token self-attention, so the base model uses them when
-        # conf.flash_attention is set; `unet_fast` is kept as an alias for
-        # call sites that only ever run without gradients.
-        if conf.flash_attention and not self.models.unet_config.flash_attention:
-            self.unet_fast = UNet2DCondition(dataclasses.replace(
-                self.models.unet_config, flash_attention=True))
+        # conf.flash_attention is set. `unet_fast` additionally routes
+        # eligible 3x3 convs through the Pallas flattened-shift kernel —
+        # a no-grad-only win (its custom-VJP backward loses to XLA's conv
+        # dgrad, so the grad-path model keeps XLA convs).
+        fast_cfg = self.models.unet_config
+        if conf.flash_attention and not fast_cfg.flash_attention:
+            fast_cfg = dataclasses.replace(fast_cfg, flash_attention=True)
+        if (getattr(conf, "pallas_conv", False)
+                and jax.default_backend() != "cpu"
+                and not fast_cfg.pallas_conv):
+            fast_cfg = dataclasses.replace(fast_cfg, pallas_conv=True)
+        if fast_cfg is not self.models.unet_config:
+            self.unet_fast = UNet2DCondition(fast_cfg)
         else:
             self.unet_fast = self.models.unet
         self.schedule = make_ddim_schedule(conf.num_timesteps)

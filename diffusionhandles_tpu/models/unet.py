@@ -18,6 +18,7 @@ from the HF torch checkpoint via models/weights.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Optional, Sequence, Tuple
 
@@ -64,6 +65,10 @@ class UNetConfig:
     # Run the decoder's concat-skip convs as two summed half-kernel convs
     # (identical math and parameter tree; see SplitInputConv).
     split_skip_conv: bool = False
+    # Run eligible 3x3 convs through the Pallas flattened-shift kernel
+    # (ops/conv.py); identical math and parameter tree. False | True |
+    # 'hybrid' (XLA forward, Pallas input-gradient backward).
+    pallas_conv: Any = False
 
 
 def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
@@ -76,6 +81,41 @@ def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
     sin, cos = jnp.sin(emb), jnp.cos(emb)
     return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos],
                            axis=-1)
+
+
+class Conv3x3(nn.Module):
+    """nn.Conv-compatible 3x3 SAME conv (same parameter tree) that runs the
+    Pallas flattened-shift kernel (ops/conv.py) when eligible — avoids
+    XLA's im2col staging fusions and layout copies that dominate batch-1
+    device traces — and falls back to lax.conv otherwise."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    impl: str = "pallas"  # "pallas" | "hybrid" (XLA fwd, Pallas dx bwd)
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusionhandles_tpu.ops.conv import (conv3x3, conv3x3_hybrid,
+                                                   conv3x3_ok)
+
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, ci, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        if conv3x3_ok(xd.shape, kernel.shape):
+            y = (conv3x3_hybrid if self.impl == "hybrid"
+                 else conv3x3)(xd, kd)
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                xd.shape, kd.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                xd, kd, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
 
 
 class SplitInputConv(nn.Module):
@@ -124,24 +164,30 @@ class ResnetBlock(nn.Module):
     # when >0: input is concat(trunk, skip) with the boundary at split_at;
     # conv1/conv_shortcut run as two summed convs (identical math & params)
     split_at: int = 0
+    pallas_conv: Any = False
 
     @nn.compact
     def __call__(self, x, temb):
+        conv3 = (functools.partial(
+            Conv3x3, impl=("hybrid" if self.pallas_conv == "hybrid"
+                           else "pallas"))
+            if self.pallas_conv else functools.partial(
+                nn.Conv, kernel_size=(3, 3), padding=1))
         residual = x
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                          dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        if self.split_at > 0:
+        if self.split_at > 0 and not self.pallas_conv:
             h = SplitInputConv(self.out_channels, (3, 3),
                                split_at=self.split_at, padding=1,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="conv1")(h)
         else:
-            h = nn.Conv(self.out_channels, (3, 3), padding=1,
-                        dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="conv1")(h)
+            h = conv3(self.out_channels,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      param_dtype=self.param_dtype,
                      name="time_emb_proj")(nn.silu(temb).astype(self.dtype))
@@ -150,10 +196,10 @@ class ResnetBlock(nn.Module):
                          dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv2")(h)
+        h = conv3(self.out_channels, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
-            if self.split_at > 0:
+            if self.split_at > 0 and not self.pallas_conv:
                 residual = SplitInputConv(
                     self.out_channels, (1, 1), split_at=self.split_at,
                     padding=0, dtype=self.dtype,
@@ -302,13 +348,19 @@ class Upsample(nn.Module):
     channels: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    pallas_conv: Any = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="conv")(x)
+        conv3 = (functools.partial(
+            Conv3x3, impl=("hybrid" if self.pallas_conv == "hybrid"
+                           else "pallas"))
+            if self.pallas_conv else functools.partial(
+                nn.Conv, kernel_size=(3, 3), padding=1))
+        return conv3(self.channels, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="conv")(x)
 
 
 class DownBlock(nn.Module):
@@ -321,6 +373,7 @@ class DownBlock(nn.Module):
     use_flash: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    pallas_conv: Any = False
 
     @nn.compact
     def __call__(self, x, temb, context, capture_probs: bool = False):
@@ -329,6 +382,7 @@ class DownBlock(nn.Module):
         for i in range(self.num_layers):
             x = ResnetBlock(self.out_channels, dtype=self.dtype,
                             param_dtype=self.param_dtype,
+                            pallas_conv=self.pallas_conv,
                             name=f"resnets_{i}")(x, temb)
             if self.num_heads:
                 x, p = Transformer2D(
@@ -360,6 +414,7 @@ class UpBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     split_skip_conv: bool = False
+    pallas_conv: Any = False
 
     @nn.compact
     def __call__(self, x, skips, temb, context, capture_probs: bool = False):
@@ -371,6 +426,7 @@ class UpBlock(nn.Module):
                             param_dtype=self.param_dtype,
                             split_at=(trunk_ch if self.split_skip_conv
                                       else 0),
+                            pallas_conv=self.pallas_conv,
                             name=f"resnets_{i}")(x, temb)
             if self.num_heads:
                 x, p = Transformer2D(
@@ -385,6 +441,7 @@ class UpBlock(nn.Module):
         if self.add_upsample:
             x = Upsample(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype,
+                         pallas_conv=self.pallas_conv,
                          name="upsamplers_0")(x)
         return x, probs
 
@@ -397,11 +454,14 @@ class MidBlock(nn.Module):
     use_flash: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    pallas_conv: Any = False
 
     @nn.compact
     def __call__(self, x, temb, context, capture_probs: bool = False):
         x = ResnetBlock(self.channels, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="resnets_0")(x, temb)
+                        param_dtype=self.param_dtype,
+                        pallas_conv=self.pallas_conv,
+                        name="resnets_0")(x, temb)
         x, probs = Transformer2D(
             self.num_heads, self.channels // self.num_heads,
             self.cross_attention_dim,
@@ -410,7 +470,9 @@ class MidBlock(nn.Module):
             use_flash=self.use_flash,
             name="attentions_0")(x, context, capture_probs=capture_probs)
         x = ResnetBlock(self.channels, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="resnets_1")(x, temb)
+                        param_dtype=self.param_dtype,
+                        pallas_conv=self.pallas_conv,
+                        name="resnets_1")(x, temb)
         return x, [probs]
 
 
@@ -472,6 +534,7 @@ class UNet2DCondition(nn.Module):
                 cross_attention_dim=cfg.cross_attention_dim,
                 use_linear_projection=cfg.use_linear_projection,
                 use_flash=cfg.flash_attention,
+                pallas_conv=cfg.pallas_conv,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"down_blocks_{i}")(x, temb, context, capture_attention)
             skips.extend(block_skips)
@@ -484,6 +547,7 @@ class UNet2DCondition(nn.Module):
             cross_attention_dim=cfg.cross_attention_dim,
             use_linear_projection=cfg.use_linear_projection,
             use_flash=cfg.flash_attention,
+            pallas_conv=cfg.pallas_conv,
             dtype=dtype, param_dtype=cfg.param_dtype,
             name="mid_block")(x, temb, context, capture_attention)
 
@@ -505,6 +569,7 @@ class UNet2DCondition(nn.Module):
                 use_linear_projection=cfg.use_linear_projection,
                 use_flash=cfg.flash_attention,
                 split_skip_conv=cfg.split_skip_conv,
+                pallas_conv=cfg.pallas_conv,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"up_blocks_{i}")(x, block_skips, temb, context,
                                        capture_attention)

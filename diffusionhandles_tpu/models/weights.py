@@ -40,6 +40,7 @@ def _load_torch_state_dict(model_dir: pathlib.Path) -> Dict[str, np.ndarray]:
 
 def _assign(flat: dict, flax_key: str, value: np.ndarray, kind: str):
     """kind: 'conv' | 'dense' | 'scale' | 'bias' | 'embed'."""
+    value = np.asarray(value)  # tolerate raw torch tensors
     if kind == "conv":
         value = np.transpose(value, (2, 3, 1, 0))  # OIHW -> HWIO
         name = "kernel"
@@ -143,7 +144,8 @@ def convert_text_encoder(state: Dict[str, np.ndarray]) -> dict:
             _assign(flat, "token_embedding", value, "embed")
             continue
         if k == "embeddings.position_embedding.weight":
-            flat[("position_embedding",)] = value.astype(np.float32)
+            flat[("position_embedding",)] = np.asarray(value,
+                                                       np.float32)
             continue
         k = re.sub(r"encoder\.layers\.(\d+)", r"layers_\1", k)
         k = k.replace(".mlp.", ".")

@@ -97,7 +97,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q, _LANES))
 
 
-def _flash_fwd_impl(q, k, v, block_q: int = 256, block_k: int = 512):
+def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 1024):
     """Returns (out [B,S,H,D], lse [B*H, S])."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -143,7 +143,7 @@ def _flash_ok(sq: int, sk: int, block_q: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
+def flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
     """Flash attention for [B, S, H, D] inputs (non-causal, unmasked)."""
     if not _flash_ok(q.shape[1], k.shape[1], block_q, block_k):
         return dot_product_attention(q, k, v)
@@ -200,8 +200,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 256,
-                    block_k: int = 512):
+def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 512,
+                    block_k: int = 1024):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)

@@ -1,0 +1,172 @@
+"""Pallas 3x3 SAME convolution (TPU, NHWC, stride 1).
+
+Why: at batch 1 XLA lowers the U-Net's 3x3 convs into a GroupNorm+im2col
+staging fusion (materializing a 9x [rows, tiles, taps, C] patch buffer),
+a matmul fusion, and layout copies between them — device traces
+(scripts/profile_unet.py) show the staging fusions and the ~1.6 ms/forward
+of copies cost more than the matmuls themselves. This kernel reads the
+padded activation ONCE from VMEM and accumulates nine shifted MXU matmuls
+(the flattened-shift formulation), so no patch buffer or layout copy ever
+exists.
+
+Formulation: pad x to [H+2, W+2, Ci] and flatten rows; a kernel tap
+(di, dj) is then a contiguous slice of length H*(W+2) starting at
+di*(W+2)+dj. The two wrap-around columns per row compute garbage that the
+caller slices away (overcompute (W+2)/W ~ 3%).
+
+y = conv3x3(x, w) carries a custom VJP:
+  dx  = conv3x3(pad-flip) = this kernel with w flipped and transposed
+  dw  = nine [Ci, S] x [S, Co] matmuls over the shifted activations (XLA;
+        dead-code-eliminated when only input grads are needed, which is
+        the inference-time guidance/null-text case)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv3_kernel(x_ref, w_ref, o_ref, *, h: int, wpad: int):
+    """x_ref [1, (h+2)*wpad, ci]; w_ref [9, ci, co_t]; o_ref [1, h*wpad,
+    co_t]. wpad = W + 2."""
+    s_out = h * wpad
+    acc = jnp.zeros((s_out, o_ref.shape[-1]), jnp.float32)
+    for tap in range(9):
+        di, dj = tap // 3, tap % 3
+        off = di * wpad + dj
+        xs = x_ref[0, pl.ds(off, s_out), :]
+        acc = acc + jnp.dot(xs, w_ref[tap],
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _co_tile(co: int) -> int:
+    # Mosaic wants the block's minor dim to be a multiple of 128 (lanes)
+    # or the full array dim.
+    if co % 256 == 0:
+        return 256
+    if co % 128 == 0:
+        return 128
+    return co
+
+
+def _conv3x3_pallas(x, w):
+    """x [B, H, W, Ci] (any float dtype), w [3, 3, Ci, Co] ->
+    y [B, H, W, Co] (x.dtype)."""
+    b, h, wdt, ci = x.shape
+    co = w.shape[-1]
+    wpad = wdt + 2
+    # Alignment: flat output index i = r*wpad + (c-1) for output col c; the
+    # tap (di, dj) then reads padded flat index i + di*wpad + dj. One extra
+    # bottom pad row keeps the last garbage column's reads in bounds.
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 1), (0, 0)))
+    xf = xp.reshape(b, (h + 3) * wpad, ci)
+    wf = w.reshape(9, ci, co).astype(x.dtype)
+    co_tile = _co_tile(co)
+
+    yf = pl.pallas_call(
+        functools.partial(_conv3_kernel, h=h, wpad=wpad),
+        grid=(b, co // co_tile),
+        in_specs=[
+            pl.BlockSpec((1, (h + 3) * wpad, ci), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, ci, co_tile), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h * wpad, co_tile),
+                               lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h * wpad, co), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xf, wf)
+    # drop the wrap-around columns: row-relative index j = c-1, so the
+    # valid output cols are the first W of each wpad-row
+    return yf.reshape(b, h, wpad, co)[:, :, :wdt, :]
+
+
+def _vmem_bytes(h, wdt, ci, co_tile, dtype_bytes=2):
+    s_in = (h + 2) * (wdt + 2) * ci * dtype_bytes
+    s_w = 9 * ci * co_tile * dtype_bytes
+    s_acc = h * (wdt + 2) * co_tile * 4
+    s_out = h * (wdt + 2) * co_tile * dtype_bytes
+    return s_in + s_w + s_acc + s_out
+
+
+def conv3x3_ok(x_shape, w_shape) -> bool:
+    """Eligibility: 3x3 kernel, activation + weights fit VMEM comfortably,
+    output rows tile-aligned."""
+    if len(w_shape) != 4 or w_shape[0] != 3 or w_shape[1] != 3:
+        return False
+    b, h, wdt, ci = x_shape
+    co = w_shape[-1]
+    if ci < 64 or co < 64:          # tiny channel counts: stay with XLA
+        return False
+    if (h * (wdt + 2)) % 8:
+        return False
+    return _vmem_bytes(h, wdt, ci, _co_tile(co)) < 64 * 1024 * 1024
+
+
+@jax.custom_vjp
+def conv3x3(x, w):
+    """3x3 SAME stride-1 NHWC convolution (no bias; add it outside)."""
+    return _conv3x3_pallas(x, w)
+
+
+def _conv3x3_fwd(x, w):
+    return _conv3x3_pallas(x, w), (x, w)
+
+
+def _conv3x3_bwd(res, dy):
+    x, w = res
+    # dx: full correlation with the spatially flipped, in/out-transposed
+    # kernel — the same kernel formulation.
+    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv3x3_pallas(dy.astype(x.dtype), w_t).astype(x.dtype)
+
+    # dw[di, dj] = x_shifted(di, dj)^T @ dy (nine MXU matmuls; DCE'd when
+    # parameter grads are unused)
+    b, h, wdt, ci = x.shape
+    co = dy.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dyf = dy.reshape(b * h * wdt, co)
+    taps = []
+    for di in range(3):
+        for dj in range(3):
+            xs = xp[:, di:di + h, dj:dj + wdt, :].reshape(b * h * wdt, ci)
+            taps.append(jnp.dot(xs.T, dyf,
+                                preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(3, 3, ci, co).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+def _lax_conv3(x, w):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                        dimension_numbers=dn)
+
+
+@jax.custom_vjp
+def conv3x3_hybrid(x, w):
+    """XLA forward (its conv-matmul fusions are fast inside grad graphs)
+    with the Pallas kernel as the input-gradient path (XLA's dgrad
+    convolutions are several times off roofline in device traces)."""
+    return _lax_conv3(x, w)
+
+
+def _hybrid_fwd(x, w):
+    return _lax_conv3(x, w), (x, w)
+
+
+conv3x3_hybrid.defvjp(_hybrid_fwd, _conv3x3_bwd)

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Per-step cost of the U-Net inside lax.scan vs a single jitted call —
+determines whether the [3,3,2560,1280] kernel staging copies are
+loop-hoisted (paid once) or per-step (worth a Pallas fix)."""
+import os
+import pathlib
+import time
+
+_CACHE = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_CACHE))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionhandles_tpu.models.unet import (UNet2DCondition, UNetConfig,
+                                              init_unet_params)
+
+STEPS = 16
+
+
+def timeit(fn, *args, n=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    np.asarray(out)  # force full host sync (block_until_ready can lie here)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import sys
+    split = "--split" in sys.argv
+    unroll = 2 if "--unroll" in sys.argv else 1
+    pallas = "--pallas" in sys.argv
+    if "--hybrid" in sys.argv:
+        pallas = "hybrid"
+    cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
+                     param_dtype=jnp.bfloat16, flash_attention=True,
+                     remat=False, split_skip_conv=split, pallas_conv=pallas)
+    print(f"split={split} unroll={unroll} pallas={pallas}", flush=True)
+    unet, params = init_unet_params(cfg, seed=0)
+    x1 = jnp.asarray(np.random.randn(1, 64, 64, 4), jnp.float32)
+    d1 = jnp.asarray(np.random.randn(1, 64, 64, 1), jnp.float32)
+    ctx1 = jnp.asarray(np.random.randn(1, 77, 1024), jnp.float32)
+
+    def scan_fwd(p, x, d, c):
+        def step(lat, t):
+            eps, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1),
+                                   t, c)
+            return lat - 0.1 * eps.astype(lat.dtype), ()
+        out, _ = jax.lax.scan(step, x, jnp.arange(STEPS, dtype=jnp.int32),
+                              unroll=unroll)
+        return out
+
+    def scan_fwdbwd(p, x, d, c):
+        def loss(cc, lat, t):
+            eps, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1), t, cc)
+            return jnp.mean(eps.astype(jnp.float32) ** 2)
+        g = jax.grad(loss)
+
+        def step(carry, t):
+            lat, cc = carry
+            cc = cc - 0.01 * g(cc, lat, t)
+            return (lat, cc), ()
+        (_, out), _ = jax.lax.scan(step, (x, c),
+                                   jnp.arange(STEPS, dtype=jnp.int32),
+                                   unroll=unroll)
+        return out
+
+    f1 = jax.jit(scan_fwd)
+    f2 = jax.jit(scan_fwdbwd)
+    for name, fn in (("scan_fwd", f1), ("scan_fwdbwd", f2)):
+        t0 = time.perf_counter()
+        v = timeit(fn, params, x1, d1, ctx1)
+        print(f"{name:>12}: {v * 1e3:8.2f} ms total, "
+              f"{v * 1e3 / STEPS:6.2f} ms/step "
+              f"(incl compile {time.perf_counter() - t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "fwd"
     cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
                      param_dtype=jnp.bfloat16, flash_attention=True,
-                     remat=False)
+                     remat=False, pallas_conv="--pallas" in sys.argv)
     unet, params = init_unet_params(cfg, seed=0)
     x1 = jnp.asarray(np.random.randn(1, 64, 64, 5), jnp.float32)
     ctx1 = jnp.asarray(np.random.randn(1, 77, 1024), jnp.float32)
@@ -43,7 +43,8 @@ def main():
     out = fn(*args)
     jax.block_until_ready(out)
 
-    trace_dir = f"/tmp/trace_{what}"
+    trace_dir = f"/tmp/trace_{what}" + (
+        "_pallas" if "--pallas" in sys.argv else "")
     with jax.profiler.trace(trace_dir):
         for _ in range(8):
             out = fn(*args)
