@@ -370,8 +370,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
     def _build_guided_inference(self, bg_loss_type: str, fg_patch: int,
                                 bg_patch: int, num_optsteps: int,
                                 guidance_max_step: int, emit_steps: bool):
-        unet = self.models.unet          # dense attention (grad path)
-        unet_fast = self.unet_fast       # flash attention (no-grad CFG)
+        unet = self.models.unet          # grad path (XLA convs)
+        unet_fast = self.unet_fast       # no-grad CFG (Pallas convs)
         schedule = self.schedule
         gs = self.conf.guidance_scale
         glr = self.conf.guidance_lr

@@ -76,8 +76,10 @@ class StableNullInverter(NullInverter):
 
     def _build_null_optimization(self, num_inner_steps: int):
         model = self.model
-        unet = model.models.unet       # dense attention: inside jax.grad
-        unet_fast = model.unet_fast    # flash attention: no-grad passes
+        # grad path: flash attention + XLA convs (best measured bwd);
+        # no-grad passes additionally use the Pallas conv kernel
+        unet = model.models.unet
+        unet_fast = model.unet_fast
         schedule = model.schedule
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
         gs = self.guidance_scale

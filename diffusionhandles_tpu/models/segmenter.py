@@ -111,3 +111,28 @@ class CLIPSegmenter(ForegroundSelector):
         k = ellipse_kernel(max(1, res // 50))
         mask = np.asarray(open_(close(mask, k), k))
         return mask.astype(np.float32)[None, None]
+
+
+class LangSamSegmenter(ForegroundSelector):
+    """The LangSAM-parity two-stage pipeline: text grounding proposes
+    prompts, SAM produces the mask (reference: test/estimate_foreground.py:
+    18-40 — GroundingDINO boxes -> SAM; here CLIP-similarity peaks -> the
+    published SAM graph, models/sam.py). Pass `sam_checkpoint` to load
+    released sam_vit_* weights."""
+
+    def __init__(self, clip_segmenter: Optional[CLIPSegmenter] = None,
+                 sam=None, sam_config=None,
+                 sam_checkpoint: Optional[str] = None):
+        from diffusionhandles_tpu.models.sam import (PromptableSegmenter,
+                                                     sam_vit_h)
+        self.grounding = clip_segmenter or CLIPSegmenter()
+        if sam is None:
+            if sam_checkpoint is not None and sam_config is None:
+                sam_config = sam_vit_h()
+            sam = PromptableSegmenter(config=sam_config,
+                                      checkpoint_path=sam_checkpoint)
+        self.sam = sam
+
+    def select_foreground(self, img: np.ndarray, prompt: str) -> np.ndarray:
+        return self.grounding.select_foreground(img, prompt,
+                                                refine_with=self.sam)

@@ -41,11 +41,21 @@ def remove_foreground(img_path: str, fg_mask_path: str, bg_path: str,
 
 
 def estimate_foreground(img_path: str, prompt: str, mask_path: str,
-                        selector=None) -> None:
-    """Text-prompted fg mask (reference: estimate_foreground.py:11-42)."""
+                        selector=None,
+                        sam_checkpoint: str = None) -> None:
+    """Text-prompted fg mask (reference: estimate_foreground.py:11-42).
+
+    With `sam_checkpoint`, runs the LangSAM-parity two-stage pipeline
+    (CLIP grounding -> released-weights SAM); otherwise the CLIP-similarity
+    segmenter alone."""
     if selector is None:
-        from diffusionhandles_tpu.models.segmenter import CLIPSegmenter
-        selector = CLIPSegmenter()
+        if sam_checkpoint is not None:
+            from diffusionhandles_tpu.models.segmenter import (
+                LangSamSegmenter)
+            selector = LangSamSegmenter(sam_checkpoint=sam_checkpoint)
+        else:
+            from diffusionhandles_tpu.models.segmenter import CLIPSegmenter
+            selector = CLIPSegmenter()
     img = load_image(img_path)[None]
     mask = selector.select_foreground(img, prompt)
     save_image(np.repeat(mask[0], 3, axis=0), mask_path)
@@ -67,6 +77,9 @@ def main():
     p3.add_argument("--img_path", required=True)
     p3.add_argument("--prompt", required=True)
     p3.add_argument("--mask_path", required=True)
+    p3.add_argument("--sam_checkpoint", default=None,
+                    help="released sam_vit_h .pth for the two-stage "
+                         "LangSAM-parity pipeline")
     args = parser.parse_args()
     if args.cmd == "estimate_depth":
         estimate_depth(args.img_path, args.depth_path)
@@ -74,7 +87,8 @@ def main():
         remove_foreground(args.img_path, args.fg_mask_path, args.bg_path,
                           args.dilation)
     else:
-        estimate_foreground(args.img_path, args.prompt, args.mask_path)
+        estimate_foreground(args.img_path, args.prompt, args.mask_path,
+                            sam_checkpoint=args.sam_checkpoint)
 
 
 if __name__ == "__main__":

@@ -115,3 +115,16 @@ def test_lpips_metric():
     # small perturbation < big perturbation
     eps = a + 0.01 * rng.randn(3, 48, 48).astype(np.float32)
     assert m(a, np.clip(eps, 0, 1)) < d_ab
+
+
+def test_langsam_two_stage_segmenter():
+    from diffusionhandles_tpu.models.sam import (PromptableSegmenter,
+                                                 tiny_sam_config)
+    from diffusionhandles_tpu.models.segmenter import LangSamSegmenter
+
+    seg = LangSamSegmenter(sam=PromptableSegmenter(tiny_sam_config()))
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 3, 96, 96).astype(np.float32)
+    mask = seg.select_foreground(img, "a red cube")
+    assert mask.shape == (1, 1, 96, 96)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
