@@ -47,13 +47,28 @@ class CLIPSegmenter(ForegroundSelector):
     def __init__(self, image_config: Optional[CLIPImageConfig] = None,
                  text_config: Optional[CLIPTextConfig] = None,
                  image_params=None, text_params=None, seed: int = 0,
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None,
+                 clip_checkpoint: Optional[str] = None,
+                 text_projection=None):
+        """With `clip_checkpoint` (a released HF CLIPModel weight file),
+        loads real vision+text towers and uses CLIP's eot-pooled projected
+        text embedding; otherwise seeded-random tiny towers with mean
+        pooling (CI mode)."""
+        if clip_checkpoint is not None and image_config is None:
+            from diffusionhandles_tpu.models.weights_clip import (
+                clip_vit_b16, load_clip_checkpoint)
+            image_config, text_config = clip_vit_b16()
+            image_params, text_params, text_projection = \
+                load_clip_checkpoint(clip_checkpoint, image_config,
+                                     text_config)
         self.image_config = image_config or tiny_clip_image_config(
             image_size=224, patch_size=16, hidden_size=256, num_layers=6,
             num_heads=4, projection_dim=256)
         self.text_config = text_config or tiny_clip_config(
             vocab_size=49408, hidden_size=256, intermediate_size=512,
             num_heads=4, num_layers=4)
+        self.text_projection = (None if text_projection is None
+                                else jnp.asarray(text_projection))
         if self.image_config.projection_dim != self.text_config.hidden_size:
             raise ValueError("image projection_dim must match text hidden")
         self.image_model = CLIPImageEncoder(self.image_config)
@@ -78,8 +93,14 @@ class CLIPSegmenter(ForegroundSelector):
         _, patches = self._encode_image(self.image_params, x)
         ids = jnp.asarray(self.tokenizer([prompt]), jnp.int32)
         text = self._encode_text(self.text_params, ids)
-        # pool the prompt: mean over non-padding positions
-        t = text.mean(axis=1)
+        if self.text_projection is not None:
+            # CLIP pooling: the (post final-LN) hidden state at the eot
+            # token (highest token id), through the text projection
+            eot = jnp.argmax(ids, axis=-1)
+            t = text[jnp.arange(text.shape[0]), eot] @ self.text_projection
+        else:
+            # random-weight CI mode: mean over positions
+            t = text.mean(axis=1)
         patches = patches / (jnp.linalg.norm(patches, axis=-1,
                                              keepdims=True) + 1e-8)
         t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-8)

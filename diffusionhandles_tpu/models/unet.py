@@ -118,6 +118,26 @@ class Conv3x3(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class Conv1x1AsMatmul(nn.Module):
+    """A 1x1 nn.Conv (same [1, 1, Ci, Co] parameter tree) evaluated as a
+    flattened matmul — avoids conv layout assignment for pointwise ops."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, ci, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        y = jnp.einsum("...c,cf->...f", x.astype(self.dtype),
+                       kernel[0, 0].astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class SplitInputConv(nn.Module):
     """An nn.Conv (same parameter tree: one [kh, kw, Cin, F] kernel) whose
     forward splits the input channels at `split_at` and runs two summed
@@ -203,6 +223,15 @@ class ResnetBlock(nn.Module):
                 residual = SplitInputConv(
                     self.out_channels, (1, 1), split_at=self.split_at,
                     padding=0, dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="conv_shortcut")(residual)
+            elif self.pallas_conv:
+                # 1x1 conv as a plain matmul (same [1,1,Ci,Co] param tree):
+                # keeps the activation in the row-major [B,S,C] layout the
+                # Pallas convs and attention already use, instead of
+                # tempting XLA into conv-layout transposes.
+                residual = Conv1x1AsMatmul(
+                    self.out_channels, dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name="conv_shortcut")(residual)
             else:
