@@ -109,21 +109,35 @@ class CLIPSegmenter(ForegroundSelector):
         sim = resize_nhwc(sim[..., None], (h, w), "bilinear")[..., 0]
         return np.asarray(sim)
 
+    def propose_box(self, img: np.ndarray, prompt: str) -> np.ndarray:
+        """Text-grounded box proposal [x1, y1, x2, y2]: bbox of the
+        thresholded similarity region (the role GroundingDINO's box plays
+        in LangSAM, reference: test/estimate_foreground.py:37-39)."""
+        sim = self.similarity_map(img, prompt)[0]
+        lo, hi = np.percentile(sim, [5, 95])
+        mask = sim > (lo + hi) / 2
+        if not mask.any():
+            fy, fx = np.unravel_index(np.argmax(sim), sim.shape)
+            return np.array([fx - 4, fy - 4, fx + 4, fy + 4], np.float32)
+        ys, xs = np.nonzero(mask)
+        return np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                        np.float32)
+
     def select_foreground(self, img: np.ndarray, prompt: str,
                           refine_with=None) -> np.ndarray:
         """Text-prompted mask. With `refine_with` (a PromptableSegmenter),
-        runs the two-stage LangSAM-style pipeline: CLIP grounding picks
-        point prompts at the similarity peaks, the SAM-style decoder
-        produces the final mask."""
+        runs the two-stage LangSAM-style pipeline: CLIP grounding proposes
+        a box (plus the similarity-peak point), SAM produces the final
+        mask — the reference's grounding->SAM handoff is box-prompted
+        (LangSAM predicts from GroundingDINO boxes)."""
         sim = self.similarity_map(img, prompt)[0]
         if refine_with is not None:
-            h, w = sim.shape
-            # fg point: global similarity peak; bg point: global minimum
+            box = self.propose_box(img, prompt)
             fy, fx = np.unravel_index(np.argmax(sim), sim.shape)
-            by, bx = np.unravel_index(np.argmin(sim), sim.shape)
-            return refine_with.segment(
-                img, points=[[int(fx), int(fy)], [int(bx), int(by)]],
-                labels=[1, 0])
+            mask, _ = refine_with.predict(
+                img, points=[[int(fx), int(fy)]], labels=[1],
+                boxes=box)
+            return mask
         # adaptive threshold: Otsu-style split on the similarity histogram
         lo, hi = np.percentile(sim, [5, 95])
         thresh = (lo + hi) / 2
