@@ -157,10 +157,24 @@ class LangSamSegmenter(ForegroundSelector):
 
     def __init__(self, clip_segmenter: Optional[CLIPSegmenter] = None,
                  sam=None, sam_config=None,
-                 sam_checkpoint: Optional[str] = None):
+                 sam_checkpoint: Optional[str] = None,
+                 grounder=None,
+                 gdino_checkpoint: Optional[str] = None,
+                 bert_vocab_path: Optional[str] = None):
+        """Grounding stage: a GroundingDINO grounder when `grounder` /
+        `gdino_checkpoint` is given (the reference's exact LangSAM stack),
+        else CLIP-similarity grounding."""
         from diffusionhandles_tpu.models.sam import (PromptableSegmenter,
                                                      sam_vit_h)
-        self.grounding = clip_segmenter or CLIPSegmenter()
+        if gdino_checkpoint is not None and grounder is None:
+            from diffusionhandles_tpu.models.groundingdino import (
+                GroundingDinoGrounder)
+            grounder = GroundingDinoGrounder(
+                checkpoint_path=gdino_checkpoint,
+                vocab_path=bert_vocab_path)
+        self.grounder = grounder
+        self.grounding = clip_segmenter or (
+            None if grounder is not None else CLIPSegmenter())
         if sam is None:
             if sam_checkpoint is not None and sam_config is None:
                 sam_config = sam_vit_h()
@@ -169,5 +183,9 @@ class LangSamSegmenter(ForegroundSelector):
         self.sam = sam
 
     def select_foreground(self, img: np.ndarray, prompt: str) -> np.ndarray:
+        if self.grounder is not None:
+            box = self.grounder.best_box(img, prompt)
+            mask, _ = self.sam.predict(img, boxes=box)
+            return mask
         return self.grounding.select_foreground(img, prompt,
                                                 refine_with=self.sam)
