@@ -74,6 +74,11 @@ def run_edit(handles, sample, prompt="a toy cube on a table"):
         translation=np.array([0.0, 0.0, 0.1]))
     np.asarray(edited_img)  # block on device work
     t3 = time.perf_counter()
+    try:
+        from diffusionhandles_tpu.utils.aot import AotStore
+        print(f"aot-stats: {AotStore.default().stats}", flush=True)
+    except Exception:
+        pass
     return dict(step1_invert_record=t1 - t0, step2_foreground=t2 - t1,
                 step3_guided_edit=t3 - t2, total=t3 - t0)
 

@@ -139,10 +139,16 @@ class AotStore:
                 payload, in_tree, out_tree, device_ids = pickle.load(f)
             by_id = {d.id: d for d in jax.devices()}
             exec_devices = [by_id[i] for i in device_ids]
+            import time as _time
+            t0 = _time.perf_counter()
             compiled = deserialize_and_load(
                 payload, in_tree, out_tree,
                 execution_devices=exec_devices)
             self.stats["hits"] += 1
+            if os.environ.get("DIFFHANDLES_AOT_DEBUG"):
+                print(f"[aot] load {key}: "
+                      f"{_time.perf_counter() - t0:.1f}s "
+                      f"({path.stat().st_size / 1e6:.0f} MB)", flush=True)
             return _resharding_call(compiled)
         except Exception:
             self.stats["errors"] += 1
