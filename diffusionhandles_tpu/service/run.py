@@ -18,6 +18,13 @@ def main():
     parser.add_argument("--variant", default="sd2",
                         choices=["sd2", "tiny"])
     parser.add_argument("--netpath", default="")
+    # released checkpoint files (see PARITY.md): each service loads real
+    # weights when its path is given, seeded-random otherwise
+    parser.add_argument("--zoedepth_checkpoint", default=None)
+    parser.add_argument("--lama_checkpoint", default=None)
+    parser.add_argument("--sam_checkpoint", default=None)
+    parser.add_argument("--gdino_checkpoint", default=None)
+    parser.add_argument("--bert_vocab", default=None)
     args = parser.parse_args()
 
     # Multi-host placement: join the JAX multi-controller runtime when the
@@ -44,17 +51,35 @@ def main():
                                                      netpath=args.netpath)
     elif args.service == "depth":
         estimator = None
-        if args.variant == "tiny":
+        if args.zoedepth_checkpoint:
+            from diffusionhandles_tpu.models.zoedepth import (
+                ZoeDepthEstimator)
+            estimator = ZoeDepthEstimator(
+                checkpoint_path=args.zoedepth_checkpoint)
+        elif args.variant == "tiny":
             from diffusionhandles_tpu.models.zoedepth import (
                 ZoeDepthEstimator, tiny_zoedepth_config)
             estimator = ZoeDepthEstimator(tiny_zoedepth_config())
         app = services.DepthEstimatorWebapp(estimator=estimator, port=port,
                                             netpath=args.netpath)
     elif args.service == "remover":
-        app = services.ForegroundRemoverWebapp(port=port,
+        remover = None
+        if args.lama_checkpoint:
+            from diffusionhandles_tpu.models.lama import LamaInpainter
+            remover = LamaInpainter(checkpoint_path=args.lama_checkpoint)
+        app = services.ForegroundRemoverWebapp(remover=remover, port=port,
                                                netpath=args.netpath)
     elif args.service == "selector":
-        app = services.ForegroundSelectorWebapp(port=port,
+        selector = None
+        if args.sam_checkpoint or args.gdino_checkpoint:
+            from diffusionhandles_tpu.models.segmenter import (
+                LangSamSegmenter)
+            selector = LangSamSegmenter(
+                sam_checkpoint=args.sam_checkpoint,
+                gdino_checkpoint=args.gdino_checkpoint,
+                bert_vocab_path=args.bert_vocab)
+        app = services.ForegroundSelectorWebapp(selector=selector,
+                                                port=port,
                                                 netpath=args.netpath)
     else:
         app = services.Text2ImgWebapp(port=port, variant=args.variant,
