@@ -128,3 +128,24 @@ def test_langsam_two_stage_segmenter():
     mask = seg.select_foreground(img, "a red cube")
     assert mask.shape == (1, 1, 96, 96)
     assert set(np.unique(mask)) <= {0.0, 1.0}
+
+
+def test_wordpiece_tokenizer_real_vocab(tmp_path):
+    from diffusionhandles_tpu.models.bert import WordPieceTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "red", "cu", "##be",
+             "toy", ".", "un", "##know", "##able"]
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(vocab))
+    tok = WordPieceTokenizer(str(p))
+    ids, mask = tok(["A red cube."], max_length=16)
+    # [CLS] a red cu ##be . [SEP]
+    assert ids[0, :7].tolist() == [2, 4, 5, 6, 7, 9, 3]
+    assert mask[0, :7].all() and not mask[0, 7:].any()
+    ids2, _ = tok(["unknowable zzz"], max_length=16)
+    assert ids2[0, 1:4].tolist() == [10, 11, 12]   # un ##know ##able
+    assert ids2[0, 4] == 1                          # zzz -> [UNK]
+    # loud refusal on a missing vocab path
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        WordPieceTokenizer(str(tmp_path / "missing.txt"))
