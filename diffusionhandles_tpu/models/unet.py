@@ -94,11 +94,13 @@ class Conv3x3(nn.Module):
     param_dtype: Any = jnp.float32
 
     impl: str = "pallas"  # "pallas" | "hybrid" (XLA fwd, Pallas dx bwd)
+    stride: int = 1
 
     @nn.compact
     def __call__(self, x):
         from diffusionhandles_tpu.ops.conv import (conv3x3, conv3x3_hybrid,
-                                                   conv3x3_ok)
+                                                   conv3x3_ok,
+                                                   conv3x3_taps)
 
         ci = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -107,14 +109,13 @@ class Conv3x3(nn.Module):
                           (self.features,), self.param_dtype)
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
-        if conv3x3_ok(xd.shape, kernel.shape):
+        if self.stride == 1 and conv3x3_ok(xd.shape, kernel.shape):
             y = (conv3x3_hybrid if self.impl == "hybrid"
                  else conv3x3)(xd, kd)
         else:
-            dn = jax.lax.conv_dimension_numbers(
-                xd.shape, kd.shape, ("NHWC", "HWIO", "NHWC"))
-            y = jax.lax.conv_general_dilated(
-                xd, kd, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+            # tap-matmul form: keeps the row-major layout (XLA's conv
+            # layouts would reintroduce transpose copies around this op)
+            y = conv3x3_taps(xd, kd, self.stride)
         return y + bias.astype(self.dtype)
 
 
@@ -365,9 +366,17 @@ class Downsample(nn.Module):
     channels: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    pallas_conv: Any = False
 
     @nn.compact
     def __call__(self, x):
+        # "flat" mode only: the tap-matmul form compiled pathologically
+        # slowly on this runtime (>25 min for a 16-step scan), so the
+        # measured-good default keeps XLA's stride-2 conv here
+        if self.pallas_conv == "flat":
+            return Conv3x3(self.channels, dtype=self.dtype,
+                           param_dtype=self.param_dtype, stride=2,
+                           name="conv")(x)
         return nn.Conv(self.channels, (3, 3), strides=2, padding=1,
                        dtype=self.dtype, param_dtype=self.param_dtype,
                        name="conv")(x)
@@ -427,6 +436,7 @@ class DownBlock(nn.Module):
         if self.add_downsample:
             x = Downsample(self.out_channels, dtype=self.dtype,
                            param_dtype=self.param_dtype,
+                           pallas_conv=self.pallas_conv,
                            name="downsamplers_0")(x)
             skips.append(x)
         return x, skips, probs
@@ -542,8 +552,13 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(dtype)
         sample = sample.astype(dtype)
 
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dtype,
-                    param_dtype=cfg.param_dtype, name="conv_in")(sample)
+        if cfg.pallas_conv == "flat":
+            x = Conv3x3(cfg.block_out_channels[0], dtype=dtype,
+                        param_dtype=cfg.param_dtype, name="conv_in")(sample)
+        else:
+            x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                        dtype=dtype, param_dtype=cfg.param_dtype,
+                        name="conv_in")(sample)
 
         down_cls = nn.remat(DownBlock, static_argnums=(4,)) if cfg.remat \
             else DownBlock
@@ -613,8 +628,13 @@ class UNet2DCondition(nn.Module):
                          dtype=jnp.float32, param_dtype=cfg.param_dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(dtype)
-        eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
-                      param_dtype=cfg.param_dtype, name="conv_out")(x)
+        if cfg.pallas_conv == "flat":
+            eps = Conv3x3(cfg.out_channels, dtype=jnp.float32,
+                          param_dtype=cfg.param_dtype, name="conv_out")(x)
+        else:
+            eps = nn.Conv(cfg.out_channels, (3, 3), padding=1,
+                          dtype=jnp.float32, param_dtype=cfg.param_dtype,
+                          name="conv_out")(x)
 
         attn = ({"down": attn_down, "mid": attn_mid, "up": attn_up}
                 if capture_attention else None)

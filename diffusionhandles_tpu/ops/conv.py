@@ -170,3 +170,24 @@ def _hybrid_fwd(x, w):
 
 
 conv3x3_hybrid.defvjp(_hybrid_fwd, _conv3x3_bwd)
+
+
+def conv3x3_taps(x, w, stride: int = 1):
+    """3x3 SAME conv as nine shifted [S, Ci] @ [Ci, Co] matmuls in plain
+    jnp (no Pallas): keeps activations in row-major [B, S, C] layouts so
+    XLA's layout assignment never switches to conv layouts. Used for the
+    small-channel layout anchors (conv_in / conv_out / downsample) when
+    the Pallas conv mode is on."""
+    b, h, wdt, ci = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ho = (h + stride - 1) // stride
+    wo = (wdt + stride - 1) // stride
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            xs = xp[:, di:di + h:stride, dj:dj + wdt:stride, :]
+            xs = xs[:, :ho, :wo, :].reshape(b, ho * wo, ci)
+            t = jnp.einsum("bsc,cf->bsf", xs, w[di, dj])
+            acc = t if acc is None else acc + t
+    return acc.reshape(b, ho, wo, co)
