@@ -130,6 +130,8 @@ def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 1024):
             jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq, _LANES), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(qt, kt, vt)
     return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3)), lse
 
@@ -236,6 +238,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 512,
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(qt, kt, vt, dot, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -266,6 +270,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 512,
             jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, sk, d), v.dtype),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(qt, kt, vt, dot, lse, delta)
 
     untr = lambda x: jnp.transpose(
