@@ -189,10 +189,13 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
+        # "mm1x1": XLA 3x3 convs but matmul-form 1x1 shortcuts (the
+        # layout-churn win without the Pallas-conv grad regression)
+        use_pallas3 = self.pallas_conv and self.pallas_conv != "mm1x1"
         conv3 = (functools.partial(
             Conv3x3, impl=("hybrid" if self.pallas_conv == "hybrid"
                            else "pallas"))
-            if self.pallas_conv else functools.partial(
+            if use_pallas3 else functools.partial(
                 nn.Conv, kernel_size=(3, 3), padding=1))
         residual = x
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,

@@ -39,6 +39,8 @@ def main():
     pallas = "--pallas" in sys.argv
     if "--hybrid" in sys.argv:
         pallas = "hybrid"
+    if "--mm1" in sys.argv:
+        pallas = "mm1x1"
     cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
                      param_dtype=jnp.bfloat16, flash_attention=True,
                      remat=False, split_skip_conv=split, pallas_conv=pallas)
