@@ -103,3 +103,31 @@ def test_live_service_roundtrip():
     outside = mask[0, 0] == 0
     np.testing.assert_allclose(bg[0, :, outside], img[0, :, outside],
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_live_langsam_selector_service():
+    """The foreground-selector service backed by the full LangSAM stack
+    (tiny GroundingDINO grounder -> tiny SAM), over real HTTP."""
+    pytest.importorskip("aiohttp")
+    from diffusionhandles_tpu.models.groundingdino import (
+        GroundingDinoGrounder, tiny_gdino_config)
+    from diffusionhandles_tpu.models.sam import (PromptableSegmenter,
+                                                 tiny_sam_config)
+    from diffusionhandles_tpu.models.segmenter import LangSamSegmenter
+    from diffusionhandles_tpu.service.client import ForegroundSelectorClient
+    from diffusionhandles_tpu.service.services import (
+        ForegroundSelectorWebapp)
+
+    selector = LangSamSegmenter(
+        grounder=GroundingDinoGrounder(tiny_gdino_config(), input_size=64),
+        sam=PromptableSegmenter(tiny_sam_config()))
+    app = ForegroundSelectorWebapp(selector=selector, port=18894)
+    app.start_background()
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 3, 64, 64).astype(np.float32)
+    mask = ForegroundSelectorClient(
+        "http://127.0.0.1:18894").select_foreground(img, "a toy robot")
+    assert mask.shape == (1, 1, 64, 64)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
