@@ -122,9 +122,26 @@ class AotStore:
     def _key(self, name: str, args) -> str:
         if self._code_hash is None:
             self._code_hash = _package_code_hash()
+            self._gc()
         raw = f"{self._code_hash}|{_device_fingerprint()}|{name}|" \
               f"{_aval_sig(args)}"
-        return hashlib.sha256(raw.encode()).hexdigest()[:32]
+        # the code hash prefixes the filename so stale generations are
+        # recognizable and collectable
+        return (self._code_hash + "-"
+                + hashlib.sha256(raw.encode()).hexdigest()[:32])
+
+    def _gc(self):
+        """Delete entries from other code-hash generations: they can never
+        hit again (any compute-path edit invalidates every key) and
+        otherwise accumulate multi-GB garbage."""
+        if self.dir is None:
+            return
+        for f in self.dir.glob("*.aot"):
+            if not f.name.startswith(self._code_hash + "-"):
+                try:
+                    f.unlink()
+                except OSError:
+                    pass
 
     def _load(self, key: str):
         if self.dir is None:
