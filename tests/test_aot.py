@@ -65,3 +65,20 @@ def test_disabled_on_cpu_by_default(tmp_path, monkeypatch):
     fn(jnp.zeros((4,), jnp.float32))
     assert not list(tmp_path.glob("*.aot"))
     assert store.stats["misses"] == 0
+
+
+def test_gc_prunes_only_stale_generations(tmp_path):
+    from diffusionhandles_tpu.utils.aot import AotStore
+
+    store = AotStore(str(tmp_path))
+    key = store._key("x", (np.zeros((2, 2), np.float32),))
+    cur = tmp_path / f"{key}.aot"
+    cur.write_bytes(b"current")
+    stale = tmp_path / "deadbeef00000000-abc.aot"
+    stale.write_bytes(b"stale")
+    legacy = tmp_path / "0123456789abcdef0123456789abcdef.aot"
+    legacy.write_bytes(b"legacy-format")
+    store._gc()
+    assert cur.exists()
+    assert not stale.exists()
+    assert not legacy.exists()
