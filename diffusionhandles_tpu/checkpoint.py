@@ -11,9 +11,8 @@ NHWC.
 
 from __future__ import annotations
 
-import os
 import pathlib
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -22,7 +22,6 @@ model:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -48,7 +47,7 @@ from diffusionhandles_tpu.models.vae import (AutoencoderKL, VAEConfig,
                                              init_vae_params,
                                              tiny_vae_config)
 from diffusionhandles_tpu.ops.resize import resize_nhwc
-from diffusionhandles_tpu.scheduler import (DDIMSchedule, add_noise,
+from diffusionhandles_tpu.scheduler import (add_noise,
                                             ddim_step, make_ddim_schedule)
 from diffusionhandles_tpu.utils.aot import AotStore
 from diffusionhandles_tpu.utils.rng import seeded_randn

@@ -15,7 +15,7 @@ Re-designs the reference's StableNullInverter
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

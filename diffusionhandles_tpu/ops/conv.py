@@ -24,7 +24,6 @@ y = conv3x3(x, w) carries a custom VJP:
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

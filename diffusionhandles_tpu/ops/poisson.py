@@ -20,7 +20,6 @@ pure VPU work under one jit.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

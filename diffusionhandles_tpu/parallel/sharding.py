@@ -13,7 +13,7 @@ here issues communication manually (see SURVEY.md section 5.8).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 from flax.traverse_util import flatten_dict, unflatten_dict

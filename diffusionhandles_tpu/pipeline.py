@@ -13,7 +13,7 @@ device.
 from __future__ import annotations
 
 import pathlib
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
