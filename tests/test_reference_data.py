@@ -71,3 +71,27 @@ def test_depth_transform_on_reference_sample(mode):
     # inside the image
     assert corr.shape[0] > 100
     assert corr.min() >= 0 and corr.max() < max(h, w)
+
+
+@pytest.mark.slow
+def test_second_reference_sample_translation_edit():
+    """A second real sample (car) with a translation-dominant edit."""
+    from diffusionhandles_tpu.geometry.transform import transform_depth
+    from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
+
+    depth, bg_depth, mask, transforms = _load_sample("car")
+    h, w = depth.shape[-2], depth.shape[-1]
+    intr = GuidedStableDiffuser.get_depth_intrinsics()
+    key = sorted(transforms)[-1]
+    t = transforms[key]
+    disparity, corr = transform_depth(
+        depth.reshape(1, 1, h, w), bg_depth.reshape(1, 1, h, w),
+        mask.reshape(1, 1, h, w), intr,
+        rot_angle=float(t["rotation_angle"]),
+        rot_axis=np.asarray(t["rotation_axis"], np.float32),
+        translation=np.asarray(t["translation"], np.float32),
+        depth_transform_mode="pc")
+    disparity = np.asarray(disparity)
+    assert disparity.shape == (1, 1, h, w)
+    assert np.isfinite(disparity).all() and disparity.min() >= 0.0
+    assert np.asarray(corr).shape[0] > 100
