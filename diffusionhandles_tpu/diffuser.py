@@ -177,7 +177,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
         if conf.flash_attention and not fast_cfg.flash_attention:
             fast_cfg = dataclasses.replace(fast_cfg, flash_attention=True)
         if (getattr(conf, "pallas_conv", False)
-                and jax.default_backend() != "cpu"
+                and jax.default_backend() == "tpu"
                 and not fast_cfg.pallas_conv):
             fast_cfg = dataclasses.replace(fast_cfg, pallas_conv=True)
         if fast_cfg is not self.models.unet_config:

@@ -46,6 +46,8 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask):
+        """attn_mask: [B,S] key-padding mask or [B,S,S] full pairwise mask
+        (GroundingDINO feeds BERT its per-phrase block masks)."""
         cfg = self.config
         d = cfg.hidden_size
         hd = d // cfg.num_heads
@@ -57,7 +59,10 @@ class BertLayer(nn.Module):
         k = dense(d, "key")(x).reshape(b, s, cfg.num_heads, hd)
         v = dense(d, "value")(x).reshape(b, s, cfg.num_heads, hd)
         logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) / np.sqrt(hd)
-        logits = jnp.where(attn_mask[:, None, None, :], logits, -1e9)
+        if attn_mask.ndim == 3:
+            logits = jnp.where(attn_mask[:, None, :, :], logits, -1e9)
+        else:
+            logits = jnp.where(attn_mask[:, None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(b, s, d)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
@@ -72,14 +77,16 @@ class BertLayer(nn.Module):
 
 
 class BertModel(nn.Module):
-    """input_ids [B, S] + attention_mask [B, S] -> (hidden [B, S, D],
-    pooled [B, D])."""
+    """input_ids [B, S] + attention_mask ([B, S] padding or [B, S, S]
+    pairwise) -> (hidden [B, S, D], pooled [B, D]). `position_ids` [B, S]
+    overrides the default arange positions (GroundingDINO resets positions
+    per phrase)."""
 
     config: BertConfig
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None,
-                 token_type_ids=None):
+                 token_type_ids=None, position_ids=None):
         cfg = self.config
         b, s = input_ids.shape
         if attention_mask is None:
@@ -99,8 +106,11 @@ class BertModel(nn.Module):
                               nn.initializers.normal(0.02),
                               (cfg.type_vocab_size, cfg.hidden_size),
                               cfg.param_dtype)
-        x = word[input_ids] + pos[jnp.arange(s)][None] \
-            + tok_type[token_type_ids]
+        if position_ids is None:
+            pos_e = pos[jnp.arange(s)][None]
+        else:
+            pos_e = pos[position_ids]
+        x = word[input_ids] + pos_e + tok_type[token_type_ids]
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                          param_dtype=cfg.param_dtype,
                          name="embeddings_LayerNorm")(x)

@@ -53,6 +53,9 @@ class GroundingDinoConfig:
     fusion_heads: int = 4
     text_layer_heads: int = 4
     text_layer_ffn: int = 1024
+    # bert-base-uncased ids for [CLS], [SEP], '.', '?' — the phrase
+    # delimiters of generate_masks_with_special_tokens_and_transfer_map
+    special_token_ids: Tuple[int, ...] = (101, 102, 1012, 1029)
     swin: SwinConfig = dataclasses.field(default_factory=SwinConfig)
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     param_dtype: Any = jnp.float32
@@ -87,10 +90,46 @@ def _sine_embed(x, dim: int, temperature: float = 10000.0):
 
 def _box_sine_embed(boxes, d_model: int):
     """cxcywh boxes in [0,1] -> [..., 2*d_model] (128 dims per coord for
-    d_model=256, the published ref_point_head input)."""
+    d_model=256, the published ref_point_head input). The published
+    gen_sineembed_for_position emits (pos_y, pos_x, pos_w, pos_h) — the
+    y embedding comes FIRST, then x, then w, h."""
     per = d_model // 2
-    parts = [_sine_embed(boxes[..., i], per) for i in range(4)]
+    order = (1, 0, 2, 3)                                # cy, cx, w, h
+    parts = [_sine_embed(boxes[..., i], per) for i in order]
     return jnp.concatenate(parts, axis=-1)
+
+
+def build_text_token_masks(input_ids, txt_mask, special_ids):
+    """The published generate_masks_with_special_tokens_and_transfer_map:
+    tokens between consecutive special tokens ([CLS]/[SEP]/'.'/'?') form
+    independent phrases. Each phrase (including its trailing special token)
+    gets block self-attention and fresh arange(0..len-1) position ids;
+    [CLS] attends only itself with position 0; padding tokens attend only
+    themselves with position 0.
+
+    input_ids [B,S] int; txt_mask [B,S] bool (valid tokens).
+    Returns (attn [B,S,S] bool, position_ids [B,S] int32).
+    """
+    sp = jnp.zeros(input_ids.shape, bool)
+    for sid in special_ids:
+        sp = sp | (input_ids == sid)
+    sp = sp & txt_mask
+    b, s = input_ids.shape
+    # phrase/block id = number of special tokens strictly before the token
+    block = jnp.cumsum(sp.astype(jnp.int32), axis=1) - sp.astype(jnp.int32)
+    valid = txt_mask
+    attn = (block[:, :, None] == block[:, None, :]) \
+        & valid[:, :, None] & valid[:, None, :]
+    attn = attn | jnp.eye(s, dtype=bool)[None]
+    # previous special position (exclusive running max), -1 if none
+    idx = jnp.arange(s, dtype=jnp.int32)[None]
+    marked = jnp.where(sp, idx, -1)
+    run = jax.lax.associative_scan(jnp.maximum, marked, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), run[:, :-1]], axis=1)
+    covered = idx <= jnp.max(marked, axis=1, keepdims=True)
+    position_ids = jnp.where(covered & valid, idx - prev - 1, 0)
+    return attn, position_ids.astype(jnp.int32)
 
 
 class _InProj(nn.Module):
@@ -259,7 +298,9 @@ class TextSelfAttnLayer(nn.Module):
     config: GroundingDinoConfig
 
     @nn.compact
-    def __call__(self, txt, txt_mask, pos):
+    def __call__(self, txt, attn_mask, pos):
+        """attn_mask: [B,S,S] bool per-phrase block mask (the published
+        layers consume ~text_self_attention_masks, not the padding mask)."""
         cfg = self.config
         d = txt.shape[-1]
         H = cfg.text_layer_heads
@@ -274,7 +315,7 @@ class TextSelfAttnLayer(nn.Module):
         k = k.reshape(b, s, H, hd)
         v = v.reshape(b, s, H, hd)
         logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) / np.sqrt(hd)
-        logits = jnp.where(txt_mask[:, None, None, :], logits, -1e9)
+        logits = jnp.where(attn_mask[:, None, :, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(b, s, d)
         txt = nn.LayerNorm(epsilon=1e-5, param_dtype=cfg.param_dtype, name="norm1")(
@@ -475,7 +516,13 @@ class GroundingDinoModel(nn.Module):
             srcs.append(x.reshape(b, -1, cfg.d_model))
         src = jnp.concatenate(srcs, axis=1)
 
-        hidden, _ = self.bert(input_ids, txt_mask)
+        # per-phrase block self-attention masks + fresh position ids
+        # (generate_masks_with_special_tokens_and_transfer_map) feed both
+        # the BERT tower and the enhancer's text layers
+        text_self_mask, position_ids = build_text_token_masks(
+            input_ids, txt_mask, cfg.special_token_ids)
+        hidden, _ = self.bert(input_ids, text_self_mask,
+                              position_ids=position_ids)
         txt = self.feat_map(hidden)              # [B, St, D]
         st = txt.shape[1]
 
@@ -487,13 +534,14 @@ class GroundingDinoModel(nn.Module):
              for i, (h, w) in enumerate(spatial_shapes)], axis=0)
         pos = (pos + lvl_pos)[None]
         ref_enc = _encoder_ref_points(spatial_shapes)[None, :, :]
-        pos_text = _sine_embed(
-            jnp.arange(st, dtype=jnp.float32)[None] / st,
-            cfg.d_model)
+        # published get_sine_pos_embed consumes RAW integer per-phrase
+        # position ids (no normalization by sequence length)
+        pos_text = _sine_embed(position_ids.astype(jnp.float32),
+                               cfg.d_model)
 
         for i in range(cfg.enc_layers):
             src, txt = self.fusion_layers_mod[i](src, txt, txt_mask)
-            txt = self.text_layers_mod[i](txt, txt_mask, pos_text)
+            txt = self.text_layers_mod[i](txt, text_self_mask, pos_text)
             src = self.enc_layers_mod[i](src, pos, ref_enc, spatial_shapes)
 
         # ---- language-guided query selection (two stage)

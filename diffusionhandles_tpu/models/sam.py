@@ -542,8 +542,16 @@ class PromptableSegmenter:
         emb = self._embed(self.params, x)
 
         if points is None:
-            pts = np.zeros((1, 1, 2), np.float32)
-            lbl = -np.ones((1, 1), np.int32)
+            if boxes is not None:
+                # box-only prompt: the published PromptEncoder emits NO point
+                # tokens at all (SamPredictor passes points=None; the
+                # not_a_point pad is only appended alongside real points when
+                # no box is given) — sparse prompt is just the 2 box corners
+                pts = np.zeros((1, 0, 2), np.float32)
+                lbl = np.zeros((1, 0), np.int32)
+            else:
+                pts = np.zeros((1, 1, 2), np.float32)
+                lbl = -np.ones((1, 1), np.int32)
         else:
             pts = np.asarray(points, np.float32).reshape(1, -1, 2) * scale
             lbl = (np.ones((1, pts.shape[1]), np.int32) if labels is None

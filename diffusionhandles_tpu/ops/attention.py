@@ -136,12 +136,22 @@ def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 1024):
     return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3)), lse
 
 
-def _flash_ok(sq: int, sk: int, block_q: int = 256,
-              block_k: int = 512) -> bool:
-    """Kernel eligibility: long-enough, block-aligned sequences (the token
-    grids here are powers of two: 64^2, 32^2, ...)."""
-    return sk >= block_k and sk % block_k == 0 and sq % min(block_q,
-                                                            sq) == 0
+def _flash_supported(sq: int, sk: int, block_q: int = 512,
+                     block_k: int = 1024) -> bool:
+    """Kernel CORRECTNESS constraint. Defaults MUST match the impl defaults
+    (_flash_fwd_impl/_flash_bwd_impl): the grid floor-division silently
+    drops trailing rows/KV blocks for non-divisible lengths, so this checks
+    divisibility against the effective (min-clamped) block sizes."""
+    bq = min(block_q, sq)
+    bk = min(block_k, sk)
+    return sk % bk == 0 and sq % bq == 0
+
+
+def _flash_ok(sq: int, sk: int, block_q: int = 512,
+              block_k: int = 1024) -> bool:
+    """Routing heuristic: long-enough (dense wins at short cross-attn
+    lengths like 77) AND supported by the kernels."""
+    return sk >= 512 and _flash_supported(sq, sk, block_q, block_k)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -288,6 +298,11 @@ def flash_attention_diff(q, k, v):
 
 
 def _fa_fwd(q, k, v):
+    if not _flash_supported(q.shape[1], k.shape[1]):
+        raise ValueError(
+            f"flash_attention_diff: shapes sq={q.shape[1]} sk={k.shape[1]} "
+            f"not block-aligned for the Pallas kernels — the caller must "
+            f"gate on _flash_ok and fall back to dense attention")
     o, lse = _flash_fwd_impl(q, k, v)
     return o, (q, k, v, o, lse)
 

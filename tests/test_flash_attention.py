@@ -53,3 +53,29 @@ def test_flash_fallback_on_odd_shapes():
     want = np.asarray(dot_product_attention(q, k, v))
     got = np.asarray(flash_attention(q, k, v))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_gate_matches_impl_block_sizes():
+    """Regression: the eligibility gate must use the SAME block sizes as
+    the kernel impls (512/1024). A 1280-token sequence divides the old
+    gate's 256-block but NOT the impl's 512-block — it must be routed to
+    dense, not silently truncated by the kernel grid."""
+    from diffusionhandles_tpu.ops.attention import (_flash_ok,
+                                                    _flash_supported)
+
+    assert not _flash_supported(1280, 1280)   # 1280 % 512 != 0
+    assert not _flash_ok(1280, 1280)
+    assert _flash_ok(4096, 4096)
+    assert _flash_ok(1024, 1024)
+    assert not _flash_ok(77, 77)
+
+    q, k, v = _rand_qkv(s=1280, h=1)
+    want = np.asarray(dot_product_attention(q, k, v))
+    got = np.asarray(dot_product_attention(q, k, v, use_flash=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_flash_diff_raises_on_unsupported_shape():
+    q, k, v = _rand_qkv(s=1280, h=1)
+    with pytest.raises(ValueError, match="not block-aligned"):
+        jax.grad(lambda q: jnp.sum(flash_attention_diff(q, k, v)))(q)

@@ -91,6 +91,52 @@ def test_box_prompt_parity():
     _compare(cfg, oracle, state, with_box=True)
 
 
+def test_box_only_prompt_parity():
+    """Box-only prompt: NO point tokens at all (the published PromptEncoder
+    emits just the 2 box-corner embeddings when points is None — the
+    GroundingDINO->SAM handoff path used by LangSamSegmenter)."""
+    cfg, oracle, state = _tiny_oracle(seed=7)
+    variables = convert_sam(state)
+    model = SamModel(cfg)
+    img, _, _, box, _ = _inputs(cfg, with_box=True)
+    pts0 = np.zeros((1, 0, 2), np.float32)
+    lbl0 = np.zeros((1, 0), np.int32)
+
+    with torch.no_grad():
+        t_masks, t_iou = oracle(
+            torch.from_numpy(img), torch.from_numpy(pts0),
+            torch.from_numpy(lbl0), torch.from_numpy(box), None)
+    j_masks, j_iou = model.apply(
+        variables, np.moveaxis(img, 1, -1), pts0, lbl0, box, None)
+    np.testing.assert_allclose(np.asarray(j_masks), t_masks.numpy(),
+                               atol=2e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(j_iou), t_iou.numpy(),
+                               atol=2e-5, rtol=0)
+
+
+def test_predict_box_only_emits_no_point_tokens():
+    """PromptableSegmenter.predict(boxes=...) without points must produce
+    the same logits as the explicit zero-point decode (regression: a dummy
+    not_a_point token used to be injected on this path)."""
+    import jax.numpy as jnp
+
+    cfg = tiny_sam_config()
+    seg = PromptableSegmenter(cfg, seed=11)
+    rng = np.random.RandomState(2)
+    img = rng.rand(1, 3, 72, 64).astype(np.float32)
+    box = [6.0, 8.0, 40.0, 52.0]
+
+    mask, iou = seg.predict(img, boxes=box)
+    x, _, scale = seg._preprocess(img)
+    emb = seg._embed(seg.params, x)
+    box_s = np.asarray(box, np.float32).reshape(1, 2, 2) * scale
+    masks2, iou2 = seg._decode_box(
+        seg.params, emb, jnp.zeros((1, 0, 2), jnp.float32),
+        jnp.zeros((1, 0), jnp.int32), jnp.asarray(box_s))
+    best = 1 + int(np.argmax(np.asarray(iou2)[0, 1:]))
+    assert np.isclose(iou, float(np.asarray(iou2)[0, best]))
+
+
 def test_mask_input_parity():
     cfg, oracle, state = _tiny_oracle(seed=4)
     _compare(cfg, oracle, state, with_mask=True)
