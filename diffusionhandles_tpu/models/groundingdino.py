@@ -56,6 +56,9 @@ class GroundingDinoConfig:
     # bert-base-uncased ids for [CLS], [SEP], '.', '?' — the phrase
     # delimiters of generate_masks_with_special_tokens_and_transfer_map
     special_token_ids: Tuple[int, ...] = (101, 102, 1012, 1029)
+    # the swint_ogc config's PositionEmbeddingSineHW temperature
+    # (pe_temperatureH = pe_temperatureW = 20, NOT the DETR 10000)
+    pe_temperature: float = 20.0
     swin: SwinConfig = dataclasses.field(default_factory=SwinConfig)
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     param_dtype: Any = jnp.float32
@@ -74,8 +77,11 @@ def tiny_gdino_config(**overrides) -> GroundingDinoConfig:
 
 
 def _inverse_sigmoid(x, eps=1e-3):
-    x = jnp.clip(x, eps, 1 - eps)
-    return jnp.log(x / (1 - x))
+    """Published util.misc.inverse_sigmoid: clamp x to [0,1], then clamp
+    numerator/denominator separately (so x=1 -> log(1/eps), x=0 ->
+    log(eps/1))."""
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.log(jnp.maximum(x, eps) / jnp.maximum(1.0 - x, eps))
 
 
 def _sine_embed(x, dim: int, temperature: float = 10000.0):
@@ -287,8 +293,10 @@ class BiAttention(nn.Module):
             b, sv, e)
         out_l = jnp.einsum("bhvl,bvhc->blhc", attn_l, valv).reshape(
             b, sl, e)
-        vis = vis + gamma_v * dense(dv, "out_v_proj")(out_v)
-        txt = txt + gamma_l * dense(txt.shape[-1], "out_l_proj")(out_l)
+        # published BiAttentionBlock adds the residual to the NORMED
+        # inputs (v = layer_norm_v(v); ...; v = v + gamma_v * delta_v)
+        vis = vn + gamma_v * dense(dv, "out_v_proj")(out_v)
+        txt = ln + gamma_l * dense(txt.shape[-1], "out_l_proj")(out_l)
         return vis, txt
 
 
@@ -411,16 +419,20 @@ class DecoderLayer(nn.Module):
                             name="norm3")(tgt + h)
 
 
-def _image_pos_embed(spatial_shapes, d_model: int):
-    """Per-level sine position embeddings [S_total, d_model]
-    (PositionEmbeddingSine, temperature 10000, normalized)."""
+def _image_pos_embed(spatial_shapes, d_model: int,
+                     temperature: float = 20.0):
+    """Per-level sine position embeddings [S_total, d_model] — the
+    published PositionEmbeddingSineHW with normalize=True: cumsum
+    positions ((i+1)/H, (j+1)/W with a 1e-6 eps in the denominator),
+    scale 2*pi, temperature 20 for the swint_ogc release, y-block first."""
     per = d_model // 2
+    eps = 1e-6
     parts = []
     for (h, w) in spatial_shapes:
-        yy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-        xx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-        ey = _sine_embed(yy, per)[:, None, :].repeat(w, axis=1)
-        ex = _sine_embed(xx, per)[None, :, :].repeat(h, axis=0)
+        yy = (jnp.arange(h, dtype=jnp.float32) + 1.0) / (h + eps)
+        xx = (jnp.arange(w, dtype=jnp.float32) + 1.0) / (w + eps)
+        ey = _sine_embed(yy, per, temperature)[:, None, :].repeat(w, axis=1)
+        ex = _sine_embed(xx, per, temperature)[None, :, :].repeat(h, axis=0)
         parts.append(jnp.concatenate([ey, ex], -1).reshape(h * w, d_model))
     return jnp.concatenate(parts, axis=0)
 
@@ -436,8 +448,13 @@ def _encoder_ref_points(spatial_shapes):
 
 
 def _output_proposals(spatial_shapes):
-    """Two-stage proposal anchors [S_total, 4] in inverse-sigmoid space
-    (grid centers, wh = 0.05 * 2^level)."""
+    """Two-stage proposal anchors (gen_encoder_output_proposals): grid
+    centers, wh = 0.05 * 2^level. Returns (proposals [S_total, 4] in
+    inverse-sigmoid space with +inf at invalid rows, valid [S_total]).
+    A proposal is valid iff ALL its sigmoid-space coords lie strictly in
+    (0.01, 0.99) — border grid centers of fine levels are excluded, and
+    the published code also ZEROES the encoder memory at invalid rows
+    before the enc_output projection."""
     props = []
     for lvl, (h, w) in enumerate(spatial_shapes):
         yy, xx = jnp.meshgrid((jnp.arange(h) + 0.5) / h,
@@ -445,7 +462,11 @@ def _output_proposals(spatial_shapes):
         wh = jnp.full((h * w, 2), 0.05 * 2 ** lvl)
         props.append(jnp.concatenate(
             [jnp.stack([xx, yy], -1).reshape(h * w, 2), wh], -1))
-    return _inverse_sigmoid(jnp.concatenate(props, axis=0))
+    raw = jnp.concatenate(props, axis=0)
+    valid = jnp.all((raw > 0.01) & (raw < 0.99), axis=-1)
+    # published: exact log(p/(1-p)) on valid rows, +inf elsewhere
+    unsig = jnp.log(raw / (1.0 - raw))
+    return jnp.where(valid[:, None], unsig, jnp.inf), valid
 
 
 class GroundingDinoModel(nn.Module):
@@ -469,7 +490,7 @@ class GroundingDinoModel(nn.Module):
             param_dtype=cfg.param_dtype,
             name=f"input_proj_{nlvl_backbone}_conv")
         self.input_proj_norms = [
-            nn.GroupNorm(num_groups=min(32, cfg.d_model),
+            nn.GroupNorm(num_groups=min(32, cfg.d_model), epsilon=1e-5,
                          param_dtype=cfg.param_dtype,
                          name=f"input_proj_{i}_norm")
             for i in range(nlvl_backbone + 1)]
@@ -545,12 +566,17 @@ class GroundingDinoModel(nn.Module):
             src = self.enc_layers_mod[i](src, pos, ref_enc, spatial_shapes)
 
         # ---- language-guided query selection (two stage)
-        proposals = _output_proposals(spatial_shapes)[None]
-        memory = self.enc_output_norm(self.enc_output(src))
+        proposals, prop_valid = _output_proposals(spatial_shapes)
+        proposals = proposals[None]
+        # gen_encoder_output_proposals zeroes the memory at padded/invalid
+        # rows BEFORE the enc_output projection (the projected bias+norm
+        # of a zero row is what the published scores see there)
+        memory = self.enc_output_norm(self.enc_output(
+            jnp.where(prop_valid[None, :, None], src, 0.0)))
         txt_masked = jnp.where(txt_mask[..., None], txt, 0.0)
         enc_logits = jnp.einsum("bsd,btd->bst", memory, txt_masked)
         enc_scores = jnp.max(
-            jnp.where(txt_mask[:, None, :], enc_logits, -1e9), axis=-1)
+            jnp.where(txt_mask[:, None, :], enc_logits, -jnp.inf), axis=-1)
         _, topk = jax.lax.top_k(enc_scores, cfg.num_queries)
         enc_boxes = self.enc_out_bbox_embed(memory) + proposals
         ref = jax.nn.sigmoid(
@@ -560,18 +586,23 @@ class GroundingDinoModel(nn.Module):
         tgt = jnp.broadcast_to(self.tgt_embed[None],
                                (b,) + self.tgt_embed.shape)
 
-        # ---- cross-modality decoder with iterative box refinement
-        logits_out = None
+        # ---- cross-modality decoder with iterative box refinement.
+        # Published semantics: the RUNNING refinement chain applies
+        # bbox_embed to the RAW layer output, while the REPORTED boxes
+        # recompute bbox_embed on the decoder-normed output against the
+        # reference points going INTO that layer (TransformerDecoder
+        # appends norm(output) to `intermediate` but refines on `output`).
         boxes_out = None
         for i in range(cfg.dec_layers):
             query_pos = self.ref_point_head(
                 _box_sine_embed(ref, cfg.d_model))
             tgt = self.dec_layers_mod[i](tgt, query_pos, ref, src,
                                          spatial_shapes, txt, txt_mask)
-            delta = self.bbox_embed[i](self.decoder_norm(tgt))
-            ref = jax.nn.sigmoid(delta + _inverse_sigmoid(ref))
-            if i < cfg.dec_layers - 1:
-                ref = jax.lax.stop_gradient(ref)
+            ref_unsig = _inverse_sigmoid(ref)
+            boxes_out = jax.nn.sigmoid(
+                self.bbox_embed[i](self.decoder_norm(tgt)) + ref_unsig)
+            ref = jax.lax.stop_gradient(jax.nn.sigmoid(
+                self.bbox_embed[i](tgt) + ref_unsig))
 
         hs = self.decoder_norm(tgt)
         logits = jnp.einsum("bqd,btd->bqt", hs, txt_masked)
@@ -580,7 +611,7 @@ class GroundingDinoModel(nn.Module):
         if pad > 0:
             logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)),
                              constant_values=-jnp.inf)
-        return logits[:, :, :cfg.max_text_len], ref
+        return logits[:, :, :cfg.max_text_len], boxes_out
 
 
 # ImageNet stats (GroundingDINO's input normalization)

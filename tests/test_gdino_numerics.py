@@ -127,8 +127,10 @@ def test_bi_attention_matches_torch():
             B, Sl, e)
         gv = torch.from_numpy(np.asarray(params["gamma_v"]))
         gl = torch.from_numpy(np.asarray(params["gamma_l"]))
-        want_v = tvis + gv * proj("out_v_proj", out_v)
-        want_l = ttxt + gl * proj("out_l_proj", out_l)
+        # published BiAttentionBlock residual lands on the NORMED inputs
+        # (v = layer_norm_v(v); ...; v = v + gamma_v * delta_v)
+        want_v = vn + gv * proj("out_v_proj", out_v)
+        want_l = lnorm + gl * proj("out_l_proj", out_l)
 
     np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(),
                                atol=2e-5, rtol=1e-4)

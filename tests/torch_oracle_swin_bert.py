@@ -181,7 +181,10 @@ class BertLayer(nn.Module):
         k = self.attention.self.key(x).view(b, s, self.heads, hd)
         v = self.attention.self.value(x).view(b, s, self.heads, hd)
         logits = torch.einsum("bqhc,bkhc->bhqk", q, k) / np.sqrt(hd)
-        logits = logits.masked_fill(~mask[:, None, None, :], -1e9)
+        if mask.dim() == 3:       # pairwise mask (GroundingDINO phrases)
+            logits = logits.masked_fill(~mask[:, None, :, :], -1e9)
+        else:
+            logits = logits.masked_fill(~mask[:, None, None, :], -1e9)
         out = torch.einsum("bhqk,bkhc->bqhc", logits.softmax(-1),
                            v).reshape(b, s, d)
         x = self.attention.output.LayerNorm(
@@ -207,10 +210,13 @@ class OracleBert(nn.Module):
         self.pooler = nn.Module()
         self.pooler.dense = nn.Linear(d, d)
 
-    def forward(self, ids, mask):
+    def forward(self, ids, mask, position_ids=None):
         s = ids.shape[1]
-        x = (self.embeddings.word_embeddings(ids)
-             + self.embeddings.position_embeddings.weight[:s][None]
+        if position_ids is None:
+            pos_e = self.embeddings.position_embeddings.weight[:s][None]
+        else:
+            pos_e = self.embeddings.position_embeddings(position_ids)
+        x = (self.embeddings.word_embeddings(ids) + pos_e
              + self.embeddings.token_type_embeddings.weight[0][None, None])
         x = self.embeddings.LayerNorm(x)
         for layer in self.encoder.layer:
