@@ -45,6 +45,14 @@ class DiffusionHandles:
             variant=variant)
         self.inverter = StableNullInverter(self.diffuser)
         self.img_res = self.diffuser.image_res
+        # Fresh-process cold start: begin uploading the stored compiled
+        # executables to the device in pipeline order while the caller is
+        # still preparing inputs / running step 1 (utils/aot.py; no-op on
+        # CPU, with an empty store, or when DIFFHANDLES_AOT_PREFETCH=0).
+        import os
+        if os.environ.get("DIFFHANDLES_AOT_PREFETCH", "1") != "0":
+            from diffusionhandles_tpu.utils.aot import AotStore
+            AotStore.default().prefetch_async()
 
     def to(self, device=None):
         """Device placement shim (JAX manages placement; kept for parity
@@ -68,8 +76,9 @@ class DiffusionHandles:
         img_nhwc = to_nhwc(np.asarray(img, np.float32))
         _, init_noise, null_text_emb = self.inverter.invert(
             img_nhwc, disparity, prompt, num_inner_steps=5)
-        return (np.asarray(null_text_emb)[:, None],
-                to_nchw(init_noise))
+        # inverter's uncond_seq is already [T, 1, 77, D] (the reference's
+        # stacked uncond_embeddings[:1] layout, stable_null_inverter.py:166)
+        return np.asarray(null_text_emb), to_nchw(init_noise)
 
     def generate_input_image(self, depth, prompt: str, null_text_emb=None,
                              init_noise=None):

@@ -34,6 +34,12 @@ import jax
 import numpy as np
 
 
+def jnp_zeros(aval):
+    """((shape), dtype-str) -> device zeros."""
+    import jax.numpy as jnp
+    return jnp.zeros(aval[0], np.dtype(aval[1]))
+
+
 # Modules that define the jitted compute graphs this store serializes.
 # Editing any of them invalidates every stored executable; unrelated modules
 # (services, testset, aux models) don't churn the cache.
@@ -74,6 +80,14 @@ def _aval_sig(tree) -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+def _arg_avals(args):
+    """(shape, dtype) pytree of example args, for prefetch-time dummies."""
+    return jax.tree.map(
+        lambda leaf: ((tuple(leaf.shape), str(np.dtype(leaf.dtype)))
+                      if hasattr(leaf, "shape") and hasattr(leaf, "dtype")
+                      else leaf), args)
+
+
 def _resharding_call(compiled):
     """Wrap a deserialized executable so inputs are placed on its expected
     input shardings first (deserialize_and_load can restore a program with a
@@ -104,7 +118,10 @@ class AotStore:
         if self.dir is not None:
             self.dir.mkdir(parents=True, exist_ok=True)
         self._code_hash = None
-        self.stats = {"hits": 0, "misses": 0, "errors": 0}
+        self.stats = {"hits": 0, "misses": 0, "errors": 0,
+                      "prefetched": 0}
+        self._loaded: Dict[str, Any] = {}
+        self._prefetch_thread = None
 
     @classmethod
     def default(cls) -> "AotStore":
@@ -153,7 +170,8 @@ class AotStore:
             from jax.experimental.serialize_executable import \
                 deserialize_and_load
             with open(path, "rb") as f:
-                payload, in_tree, out_tree, device_ids = pickle.load(f)
+                record = pickle.load(f)
+            payload, in_tree, out_tree, device_ids = record[:4]
             by_id = {d.id: d for d in jax.devices()}
             exec_devices = [by_id[i] for i in device_ids]
             import time as _time
@@ -175,7 +193,8 @@ class AotStore:
                 pass
             return None
 
-    def _save(self, key: str, compiled) -> None:
+    def _save(self, key: str, compiled, name: str = "",
+              arg_avals=None) -> None:
         if self.dir is None:
             return
         try:
@@ -189,7 +208,8 @@ class AotStore:
                 compiled._executable.xla_executable.local_devices()]
             tmp = self.dir / f".{key}.tmp"
             with open(tmp, "wb") as f:
-                pickle.dump((payload, in_tree, out_tree, device_ids), f)
+                pickle.dump((payload, in_tree, out_tree, device_ids,
+                             name, arg_avals), f)
             tmp.replace(self.dir / f"{key}.aot")
         except Exception:
             self.stats["errors"] += 1
@@ -216,13 +236,92 @@ class AotStore:
             key = self._key(name, args)
             compiled = compiled_cache.get(key)
             if compiled is None:
+                # a prefetch thread may have loaded (and device-uploaded)
+                # this executable already
+                compiled = self._loaded.pop(key, None)
+            if compiled is None:
                 compiled = self._load(key)
             if compiled is None:
                 self.stats["misses"] += 1
                 compiled = jitted.lower(*args).compile()
-                self._save(key, compiled)
+                self._save(key, compiled, name=name,
+                           arg_avals=_arg_avals(args))
             compiled_cache[key] = compiled
             return compiled(*args)
 
         call.aot_name = name
         return call
+
+    # ------------------------------------------------------------------
+    # Prefetch: hide the fresh-process first-execution upload cliff
+    # ------------------------------------------------------------------
+
+    def prefetch_async(self, order=("text_apply", "vae_encode",
+                                    "ddim_loop", "null_opt", "initial",
+                                    "vae_decode", "guided")):
+        """Load + device-upload every stored executable of the current code
+        generation in a background thread, in pipeline order.
+
+        The device runtime uploads a program at its FIRST execution (round-2
+        accounting: ~250 s for the 7 pipeline programs through this
+        environment's TPU tunnel, serialized with nothing else to do). This
+        runs each program once with zero-filled dummy arguments while the
+        real step-1 work executes, so uploads overlap host-side work and
+        earlier device executions instead of blocking the user's first edit
+        at each phase boundary. Loaded executables are handed to wrap()'s
+        call path via self._loaded (no double deserialize).
+        """
+        import threading
+
+        if self.dir is None or jax.default_backend() == "cpu":
+            return None
+        if self._prefetch_thread is not None:
+            return self._prefetch_thread
+        self._code_hash = self._code_hash or _package_code_hash()
+
+        records = []
+        for f in sorted(self.dir.glob(f"{self._code_hash}-*.aot")):
+            try:
+                with open(f, "rb") as fh:
+                    record = pickle.load(fh)
+                if len(record) < 6 or record[5] is None:
+                    continue  # old-format entry: no avals to dummy-call
+                records.append((f.stem, record[4], record[5]))
+            except Exception:
+                continue
+
+        def rank(name):
+            for i, prefix in enumerate(order):
+                if name.startswith(prefix):
+                    return i
+            return len(order)
+
+        records.sort(key=lambda r: rank(r[1]))
+
+        def worker():
+            for key, name, avals in records:
+                if key in self._loaded:
+                    continue
+                compiled = self._load(key)
+                if compiled is None:
+                    continue
+                try:
+                    dummies = jax.tree.map(
+                        lambda av: (jnp_zeros(av) if isinstance(av, tuple)
+                                    else av), avals,
+                        is_leaf=lambda av: isinstance(av, tuple)
+                        and len(av) == 2 and isinstance(av[0], tuple))
+                    out = compiled(*dummies)
+                    jax.block_until_ready(out)
+                    self.stats["prefetched"] += 1
+                    if os.environ.get("DIFFHANDLES_AOT_DEBUG"):
+                        print(f"[aot] prefetched {name}", flush=True)
+                except Exception:
+                    self.stats["errors"] += 1
+                self._loaded[key] = compiled
+
+        self._prefetch_thread = threading.Thread(target=worker,
+                                                 daemon=True,
+                                                 name="aot-prefetch")
+        self._prefetch_thread.start()
+        return self._prefetch_thread

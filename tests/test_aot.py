@@ -28,7 +28,8 @@ def test_store_roundtrip(tmp_path, cpu_aot):
     store2 = AotStore(str(tmp_path))
     fn2 = store2.wrap("mm", lambda x, y: (x @ y, None))
     out2, _ = fn2(a, a)
-    assert store2.stats == {"hits": 1, "misses": 0, "errors": 0}
+    assert store2.stats == {"hits": 1, "misses": 0, "errors": 0,
+                            "prefetched": 0}
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
@@ -82,3 +83,26 @@ def test_gc_prunes_only_stale_generations(tmp_path):
     assert cur.exists()
     assert not stale.exists()
     assert not legacy.exists()
+
+
+def test_save_records_name_and_avals_for_prefetch(tmp_path, cpu_aot):
+    """Entries carry (name, arg avals) so prefetch_async can dummy-call
+    them in pipeline order on a fresh process (upload-cliff hiding)."""
+    import pickle
+
+    store = AotStore(str(tmp_path))
+    fn = store.wrap("guided_v1", lambda x: x * 3)
+    fn(jnp.zeros((4, 2), jnp.float32))
+    path = next(tmp_path.glob("*.aot"))
+    with open(path, "rb") as f:
+        record = pickle.load(f)
+    assert len(record) == 6
+    assert record[4] == "guided_v1"
+    avals = jax.tree.leaves(
+        record[5], is_leaf=lambda v: isinstance(v, tuple) and len(v) == 2)
+    assert avals == [((4, 2), "float32")]
+
+
+def test_prefetch_async_noop_on_cpu(tmp_path, cpu_aot):
+    store = AotStore(str(tmp_path))
+    assert store.prefetch_async() is None
