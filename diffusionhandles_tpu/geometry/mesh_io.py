@@ -1,5 +1,5 @@
 """Mesh file I/O: OBJ (read/write incl. per-face UV indices), binary PLY
-(read/write), and GLB (write).
+(read/write), and GLB (read/write).
 
 Replaces reference: diffhandles/mesh_io.py (trimesh-backed glb/ply) and the
 hand-written OBJ parser/writer diffhandles/mesh_io_obj.py — self-contained,
@@ -249,6 +249,76 @@ def save_mesh_glb(path, mesh: Mesh) -> None:
         f.write(bin_chunk)
 
 
+_GLB_COMP_DTYPES = {5120: np.int8, 5121: np.uint8, 5122: np.int16,
+                    5123: np.uint16, 5125: np.uint32, 5126: np.float32}
+_GLB_TYPE_DIMS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
+
+
+def load_mesh_glb(path) -> Mesh:
+    """Binary glTF 2.0 reader (positions, indices, COLOR_0/TEXCOORD_0 vertex
+    attributes of the first primitive). Round-trips save_mesh_glb and reads
+    single-mesh glb files from other exporters (the reference relies on
+    trimesh.load_mesh for this, reference: diffhandles/mesh_io.py:17-28)."""
+    with open(path, "rb") as f:
+        magic, version, _total = struct.unpack("<III", f.read(12))
+        if magic != 0x46546C67:
+            raise ValueError(f"{path}: not a GLB file")
+        json_chunk = None
+        bin_chunk = b""
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            length, ctype = struct.unpack("<II", header)
+            data = f.read(length)
+            if ctype == 0x4E4F534A:
+                json_chunk = data
+            elif ctype == 0x004E4942:
+                bin_chunk = data
+    if json_chunk is None:
+        raise ValueError(f"{path}: missing GLB JSON chunk")
+    gltf = json.loads(json_chunk.decode())
+
+    def read_accessor(idx):
+        acc = gltf["accessors"][idx]
+        view = gltf["bufferViews"][acc["bufferView"]]
+        dtype = _GLB_COMP_DTYPES[acc["componentType"]]
+        dims = _GLB_TYPE_DIMS[acc["type"]]
+        count = acc["count"]
+        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = view.get("byteStride")
+        itemsize = np.dtype(dtype).itemsize * dims
+        if stride and stride != itemsize:
+            rows = [np.frombuffer(bin_chunk, dtype,
+                                  count=dims, offset=start + i * stride)
+                    for i in range(count)]
+            arr = np.stack(rows)
+        else:
+            arr = np.frombuffer(bin_chunk, dtype,
+                                count=count * dims, offset=start)
+            arr = arr.reshape(count, dims) if dims > 1 else arr
+        return arr
+
+    prim = gltf["meshes"][0]["primitives"][0]
+    attrs = prim["attributes"]
+    verts = np.asarray(read_accessor(attrs["POSITION"]), np.float32)
+    idx = read_accessor(prim["indices"]).astype(np.int32)
+    faces = idx.reshape(-1, 3)
+    mesh = Mesh(verts=verts, faces=faces)
+    if "COLOR_0" in attrs:
+        c = read_accessor(attrs["COLOR_0"]).astype(np.float32)
+        acc = gltf["accessors"][attrs["COLOR_0"]]
+        if acc["componentType"] == 5121:
+            c = c / 255.0
+        elif acc["componentType"] == 5123:
+            c = c / 65535.0
+        mesh.vert_attributes["color"] = c[:, :3]
+    if "TEXCOORD_0" in attrs:
+        mesh.vert_attributes["uv"] = read_accessor(
+            attrs["TEXCOORD_0"]).astype(np.float32)
+    return mesh
+
+
 def save_mesh(path, mesh: Mesh, **kwargs) -> None:
     """Dispatch by extension (reference: mesh_io.py save_mesh)."""
     suffix = pathlib.Path(path).suffix.lower()
@@ -269,4 +339,6 @@ def load_mesh(path) -> Mesh:
         return load_mesh_obj(path)[0]
     if suffix == ".ply":
         return load_mesh_ply(path)
+    if suffix == ".glb":
+        return load_mesh_glb(path)
     raise ValueError(f"Unsupported mesh format: {suffix}")

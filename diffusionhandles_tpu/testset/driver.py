@@ -101,6 +101,7 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
     with open(output_dir / "config.yaml", "w") as f:
         yaml.safe_dump(config_to_dict(conf), f)
 
+    metrics_acc = OrderedDict()
     print(f"Editing {len(dataset_names)} images ...")
     for sample_idx, (sample_name, transform_names) in enumerate(
             dataset_names.items()):
@@ -159,6 +160,20 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
         save_image(np.moveaxis(np.asarray(recon)[0], -1, 0),
                    sample_out / "recon.png")
 
+        # fidelity scoreboard: recon-vs-input PSNR/SSIM (the north-star
+        # recon metric, BASELINE.md; meaningful numbers require real
+        # checkpoints via --checkpoint_dir — the harness records them
+        # either way). LPIPS additionally needs converted VGG16 weights
+        # (models/lpips.py), so it stays null without them rather than
+        # silently vanishing.
+        from diffusionhandles_tpu.testset.metrics import psnr, ssim
+        rec_chw = np.moveaxis(np.asarray(recon)[0], -1, 0)
+        metrics_acc[sample_name] = {
+            "recon_psnr_db": round(float(psnr(img[0], rec_chw)), 3),
+            "recon_ssim": round(float(ssim(img[0], rec_chw)), 4),
+            "recon_lpips": None,
+        }
+
         if batched:
             # TPU-native path: all of this sample's transforms denoise as
             # ONE vmapped batch (parallel/batch.py; no reference
@@ -216,6 +231,23 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
 
     with open(output_dir / test_set_path.name, "w") as f:
         json.dump(dataset_names, f, indent=4)
+
+    if metrics_acc:
+        vals_p = [m["recon_psnr_db"] for m in metrics_acc.values()]
+        vals_s = [m["recon_ssim"] for m in metrics_acc.values()]
+        artifact = OrderedDict(
+            samples=metrics_acc,
+            mean_recon_psnr_db=round(float(np.mean(vals_p)), 3),
+            mean_recon_ssim=round(float(np.mean(vals_s)), 4),
+            lpips_note=("LPIPS requires converted VGG16 perceptual "
+                        "weights (models/lpips.py); null without them."),
+        )
+        with open(output_dir / "metrics.json", "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"metrics: mean recon PSNR "
+              f"{artifact['mean_recon_psnr_db']:.2f} dB, mean SSIM "
+              f"{artifact['mean_recon_ssim']:.3f} -> "
+              f"{output_dir / 'metrics.json'}")
 
     if generate_webpage:
         from diffusionhandles_tpu.testset.report import \

@@ -35,7 +35,8 @@ img { max-width: 192px; display: block; }
 {% for sample in samples %}
 <tr>
 <td>{{ sample.name }}{% if sample.psnr is not none %}
-  <div class="caption">recon PSNR: {{ "%.2f" | format(sample.psnr) }} dB
+  <div class="caption">recon PSNR: {{ "%.2f" | format(sample.psnr) }} dB{% if sample.ssim is not none %} / SSIM {{ "%.3f" | format(sample.ssim) }}{% endif %}
+  <br>LPIPS: n/a without converted VGG16 weights (models/lpips.py)
   </div>{% endif %}</td>
 <td><img src="{{ sample.input }}"></td>
 <td><img src="{{ sample.mask }}"></td>
@@ -114,11 +115,14 @@ def generate_results_webpage(test_set_path: str, website_path: str,
         sdir = out_dir / sample_name
         rel = f"{relative_image_dir}/{sample_name}"
         sample_psnr = None
+        sample_ssim = None
         try:
+            from diffusionhandles_tpu.testset.metrics import ssim
             from diffusionhandles_tpu.utils.image_io import load_image
             inp = load_image(sdir / "input.png")
             rec = load_image(sdir / "recon.png")
             sample_psnr = psnr(inp, rec)
+            sample_ssim = float(ssim(inp, rec))
         except Exception:
             pass
         edits = []
@@ -136,6 +140,7 @@ def generate_results_webpage(test_set_path: str, website_path: str,
             "recon": f"{rel}/recon.png",
             "edits": edits,
             "psnr": sample_psnr,
+            "ssim": sample_ssim,
         })
 
     html = jinja2.Template(_TEMPLATE).render(

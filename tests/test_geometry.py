@@ -207,3 +207,28 @@ def test_empty_foreground_passthrough():
     assert corr.shape == (0, 4)
     np.testing.assert_allclose(np.asarray(disp),
                                np.asarray(normalize_depth(1.0 / depth)))
+
+
+def test_glb_roundtrip_with_colors():
+    """save_mesh_glb -> load_mesh_glb round-trips verts/faces/COLOR_0
+    (the reference reads arbitrary formats via trimesh.load_mesh,
+    reference: diffhandles/mesh_io.py:17-28)."""
+    import tempfile
+
+    from diffusionhandles_tpu.geometry.mesh import Mesh
+    from diffusionhandles_tpu.geometry.mesh_io import load_mesh, save_mesh
+
+    rng = np.random.RandomState(0)
+    verts = rng.rand(9, 3).astype(np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+    mesh = Mesh(verts=verts, faces=faces)
+    mesh.vert_attributes["color"] = rng.rand(9, 3).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/m.glb"
+        save_mesh(path, mesh)
+        loaded = load_mesh(path)
+    np.testing.assert_allclose(loaded.verts, verts, rtol=1e-6)
+    np.testing.assert_array_equal(loaded.faces, faces)
+    np.testing.assert_allclose(loaded.vert_attributes["color"],
+                               mesh.vert_attributes["color"], rtol=1e-6)
