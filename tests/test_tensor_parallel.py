@@ -147,3 +147,55 @@ def test_batched_edit_with_model_parallel():
                       mesh=mesh)
     assert imgs.shape[0] == 2
     assert np.isfinite(imgs).all()
+
+
+@pytest.mark.slow
+def test_tp_full_shape_sd2_step():
+    """VERDICT round-2 item 7: validate the TP sharding specs against the
+    REAL SD-2-depth parameter tree (the 2560-input-channel decoder convs,
+    320/640/1280 widths, 5/10/20 heads), not just the tiny one: one
+    fwd+bwd guided-energy step at model_parallel=2 on the virtual mesh.
+    Numerics vs a replicated run are covered at tiny shapes above; here
+    the assertions are spec divisibility (no silent full replication) and
+    a finite end-to-end step."""
+    from diffusionhandles_tpu.models.unet import UNetConfig
+    from diffusionhandles_tpu.parallel.sharding import param_spec, _divisible
+    from flax.traverse_util import flatten_dict
+
+    # remat + a 4-device (data=2, model=2) mesh keep the full-shape CPU
+    # fwd+bwd inside host RAM (the 8-device batch-4 variant aborted in the
+    # CPU allocator)
+    cfg = UNetConfig(dtype=jnp.float32, param_dtype=jnp.float32, remat=True)
+    model, params = init_unet_params(cfg, seed=0)
+    mesh = make_mesh(min(4, len(jax.devices())), model_parallel=2)
+
+    # every intended-sharded param of the REAL tree must actually divide
+    flat = flatten_dict(params)
+    sharded = replicated = 0
+    for key, value in flat.items():
+        spec = param_spec(key, value, "model")
+        if any(s is not None for s in spec):
+            assert _divisible(value.shape, spec, mesh), \
+                (key, value.shape, spec)
+            sharded += 1
+        else:
+            replicated += 1
+    assert sharded > 100, (sharded, replicated)
+
+    params_s = shard_params(params, mesh)
+    rng = np.random.RandomState(0)
+    r = cfg.sample_size
+    dp = mesh.devices.size // 2           # data-axis size of the mesh
+    x = shard_batch(jnp.asarray(
+        rng.randn(dp, r, r, cfg.in_channels), jnp.float32), mesh)
+    ctx = shard_batch(jnp.asarray(
+        rng.randn(dp, 77, cfg.cross_attention_dim), jnp.float32), mesh)
+    t = jnp.int32(17)
+
+    def loss(xx, p):
+        eps, acts, _ = model.apply(p, xx, t, ctx)
+        return jnp.mean(eps ** 2) + sum(jnp.mean(a) for a in acts)
+
+    val, g = jax.jit(jax.value_and_grad(loss))(x, params_s)
+    assert np.isfinite(float(val))
+    assert np.isfinite(float(jnp.sum(jnp.abs(g))))
