@@ -110,6 +110,7 @@ def bench_batched_edits(handles, sample, batch: int,
     dt = time.perf_counter() - t0
     print(f"  batched guided edit x{batch}: {dt:.2f}s total, "
           f"{dt / batch:.2f}s/edit", file=sys.stderr)
+    return dt / batch
 
 
 def main():
@@ -118,8 +119,10 @@ def main():
                         choices=["sd2", "tiny"])
     parser.add_argument("--repeats", type=int, default=1)
     parser.add_argument("--skip-warmup", action="store_true")
-    parser.add_argument("--batched", type=int, default=0,
-                        help="also benchmark batched editing at this batch")
+    parser.add_argument("--batched", type=int, default=8,
+                        help="also benchmark batched editing at this batch "
+                             "(0 disables); the per-edit number rides the "
+                             "JSON line as batched_edit_s_per_edit")
     args = parser.parse_args()
 
     from diffusionhandles_tpu.pipeline import DiffusionHandles
@@ -138,8 +141,14 @@ def main():
     for k, v in detail.items():
         print(f"  {k}: {v:.2f}s", file=sys.stderr)
 
+    extra = {}
     if args.batched:
-        bench_batched_edits(handles, sample, args.batched)
+        try:
+            per_edit = bench_batched_edits(handles, sample, args.batched)
+            extra = {"batched_edit_s_per_edit": round(per_edit, 3),
+                     "batched_batch": args.batched}
+        except Exception as e:  # never let the secondary metric kill the run
+            print(f"  batched bench failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "end-to-end 512^2 edit (50-step inversion + recording "
@@ -147,6 +156,7 @@ def main():
         "value": round(best, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / best, 3),
+        **extra,
     }))
 
 

@@ -125,13 +125,21 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
         ccfg = tiny_clip_config()
     else:
         in_ch = 5 if conf.use_depth else 4
-        # NOTE: pallas_conv is only enabled on the no-grad model
-        # (`unet_fast` below): measured fwd-only win, but its custom-VJP
-        # backward is slower than XLA's conv dgrad (26.4 -> 29.7 ms/step).
+        # Conv strategy per path (all hardware-measured, PERFORMANCE.md):
+        # - grad path (this model): "taps" — 3x3 convs as nine shifted
+        #   row-major matmuls and 1x1 shortcuts as matmuls, so the whole
+        #   fwd+bwd graph stays in [B, S, C] matmul layouts with no conv
+        #   ops anywhere (autodiff of einsums is more einsums). Kills the
+        #   measured layout-copy churn and off-roofline conv dgrads:
+        #   24.4 -> 21.1 ms/step fwd+bwd vs XLA convs.
+        # - no-grad path (`unet_fast` below): Pallas flattened-shift
+        #   kernels (best fwd-only; their custom-VJP bwd loses to taps).
+        grad_conv = "taps" if jax.default_backend() == "tpu" else False
         ucfg = UNetConfig(in_channels=in_ch, dtype=dtype,
                           param_dtype=param_dtype,
                           remat=conf.remat_guidance,
-                          flash_attention=conf.flash_attention)
+                          flash_attention=conf.flash_attention,
+                          pallas_conv=grad_conv)
         vcfg = VAEConfig(dtype=dtype, param_dtype=param_dtype)
         ccfg = CLIPTextConfig()
 
@@ -178,7 +186,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
             fast_cfg = dataclasses.replace(fast_cfg, flash_attention=True)
         if (getattr(conf, "pallas_conv", False)
                 and jax.default_backend() == "tpu"
-                and not fast_cfg.pallas_conv):
+                and fast_cfg.pallas_conv is not True):
             fast_cfg = dataclasses.replace(fast_cfg, pallas_conv=True)
         if fast_cfg is not self.models.unet_config:
             self.unet_fast = UNet2DCondition(fast_cfg)

@@ -83,6 +83,13 @@ def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
                            axis=-1)
 
 
+def _conv3_impl(mode) -> str:
+    """Map a pallas_conv config mode to the Conv3x3 impl choice."""
+    if mode in ("hybrid", "taps", "mixed"):
+        return mode
+    return "pallas"
+
+
 class Conv3x3(nn.Module):
     """nn.Conv-compatible 3x3 SAME conv (same parameter tree) that runs the
     Pallas flattened-shift kernel (ops/conv.py) when eligible — avoids
@@ -93,7 +100,10 @@ class Conv3x3(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
-    impl: str = "pallas"  # "pallas" | "hybrid" (XLA fwd, Pallas dx bwd)
+    # "pallas" | "hybrid" (XLA fwd, Pallas dx bwd) | "taps" (plain-jnp
+    # shifted matmuls, autodiff-friendly: grads are themselves row-major
+    # matmuls, no conv ops anywhere in the autodiff graph)
+    impl: str = "pallas"
     stride: int = 1
 
     @nn.compact
@@ -109,9 +119,11 @@ class Conv3x3(nn.Module):
                           (self.features,), self.param_dtype)
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
-        if self.stride == 1 and conv3x3_ok(xd.shape, kernel.shape):
-            y = (conv3x3_hybrid if self.impl == "hybrid"
-                 else conv3x3)(xd, kd)
+        if (self.impl != "taps" and self.stride == 1
+                and conv3x3_ok(xd.shape, kernel.shape)):
+            from diffusionhandles_tpu.ops.conv import conv3x3_mixed
+            y = {"hybrid": conv3x3_hybrid,
+                 "mixed": conv3x3_mixed}.get(self.impl, conv3x3)(xd, kd)
         else:
             # tap-matmul form: keeps the row-major layout (XLA's conv
             # layouts would reintroduce transpose copies around this op)
@@ -192,9 +204,7 @@ class ResnetBlock(nn.Module):
         # "mm1x1": XLA 3x3 convs but matmul-form 1x1 shortcuts (the
         # layout-churn win without the Pallas-conv grad regression)
         use_pallas3 = self.pallas_conv and self.pallas_conv != "mm1x1"
-        conv3 = (functools.partial(
-            Conv3x3, impl=("hybrid" if self.pallas_conv == "hybrid"
-                           else "pallas"))
+        conv3 = (functools.partial(Conv3x3, impl=_conv3_impl(self.pallas_conv))
             if use_pallas3 else functools.partial(
                 nn.Conv, kernel_size=(3, 3), padding=1))
         residual = x
@@ -376,9 +386,10 @@ class Downsample(nn.Module):
         # "flat" mode only: the tap-matmul form compiled pathologically
         # slowly on this runtime (>25 min for a 16-step scan), so the
         # measured-good default keeps XLA's stride-2 conv here
-        if self.pallas_conv == "flat":
+        if self.pallas_conv in ("flat", "taps"):
             return Conv3x3(self.channels, dtype=self.dtype,
                            param_dtype=self.param_dtype, stride=2,
+                           impl=_conv3_impl(self.pallas_conv),
                            name="conv")(x)
         return nn.Conv(self.channels, (3, 3), strides=2, padding=1,
                        dtype=self.dtype, param_dtype=self.param_dtype,
@@ -395,9 +406,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        conv3 = (functools.partial(
-            Conv3x3, impl=("hybrid" if self.pallas_conv == "hybrid"
-                           else "pallas"))
+        conv3 = (functools.partial(Conv3x3, impl=_conv3_impl(self.pallas_conv))
             if self.pallas_conv else functools.partial(
                 nn.Conv, kernel_size=(3, 3), padding=1))
         return conv3(self.channels, dtype=self.dtype,
@@ -555,9 +564,11 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(dtype)
         sample = sample.astype(dtype)
 
-        if cfg.pallas_conv == "flat":
+        if cfg.pallas_conv in ("flat", "taps"):
             x = Conv3x3(cfg.block_out_channels[0], dtype=dtype,
-                        param_dtype=cfg.param_dtype, name="conv_in")(sample)
+                        param_dtype=cfg.param_dtype,
+                        impl=_conv3_impl(cfg.pallas_conv),
+                        name="conv_in")(sample)
         else:
             x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                         dtype=dtype, param_dtype=cfg.param_dtype,
@@ -631,9 +642,11 @@ class UNet2DCondition(nn.Module):
                          dtype=jnp.float32, param_dtype=cfg.param_dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(dtype)
-        if cfg.pallas_conv == "flat":
+        if cfg.pallas_conv in ("flat", "taps"):
             eps = Conv3x3(cfg.out_channels, dtype=jnp.float32,
-                          param_dtype=cfg.param_dtype, name="conv_out")(x)
+                          param_dtype=cfg.param_dtype,
+                          impl=_conv3_impl(cfg.pallas_conv),
+                          name="conv_out")(x)
         else:
             eps = nn.Conv(cfg.out_channels, (3, 3), padding=1,
                           dtype=jnp.float32, param_dtype=cfg.param_dtype,

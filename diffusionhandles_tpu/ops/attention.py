@@ -97,7 +97,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q, _LANES))
 
 
-def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 1024):
+def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 2048):
     """Returns (out [B,S,H,D], lse [B*H, S])."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -137,25 +137,31 @@ def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 1024):
 
 
 def _flash_supported(sq: int, sk: int, block_q: int = 512,
-                     block_k: int = 1024) -> bool:
+                     block_k: int = 2048) -> bool:
     """Kernel CORRECTNESS constraint. Defaults MUST match the impl defaults
-    (_flash_fwd_impl/_flash_bwd_impl): the grid floor-division silently
-    drops trailing rows/KV blocks for non-divisible lengths, so this checks
-    divisibility against the effective (min-clamped) block sizes."""
+    (_flash_fwd_impl / _flash_bwd_fused_impl / _flash_bwd_impl): the grid
+    floor-division silently drops trailing rows/KV blocks for non-divisible
+    lengths, so this checks divisibility against the effective
+    (min-clamped) block sizes of EVERY kernel the VJP may run — including
+    the fused backward's block_q=1024 and the two-pass backward's
+    block_k=1024."""
     bq = min(block_q, sq)
     bk = min(block_k, sk)
-    return sk % bk == 0 and sq % bq == 0
+    bq_bwd = min(1024, sq)       # _flash_bwd_fused_impl block_q default
+    bk_bwd = min(1024, sk)       # _flash_bwd_impl block_k default
+    return (sk % bk == 0 and sq % bq == 0
+            and sq % bq_bwd == 0 and sk % bk_bwd == 0)
 
 
 def _flash_ok(sq: int, sk: int, block_q: int = 512,
-              block_k: int = 1024) -> bool:
+              block_k: int = 2048) -> bool:
     """Routing heuristic: long-enough (dense wins at short cross-attn
     lengths like 77) AND supported by the kernels."""
     return sk >= 512 and _flash_supported(sq, sk, block_q, block_k)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
+def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048):
     """Flash attention for [B, S, H, D] inputs (non-causal, unmasked)."""
     if not _flash_ok(q.shape[1], k.shape[1], block_q, block_k):
         return dot_product_attention(q, k, v)
@@ -210,6 +216,105 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk, dv = jax.lax.fori_loop(0, q_len // block_q, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            dq_ref, dk_ref, dv_ref, *, scale, q_len,
+                            block_q):
+    """Single-sweep FlashAttention backward: for one KV block, loop over
+    all query blocks computing p = exp(s - lse) ONCE and emitting all
+    three gradient contributions (the published two-pass formulation
+    recomputes s and p in both passes — 7 matmuls + 2 exp per block pair
+    vs 5 matmuls + 1 exp here). dq accumulates across KV-grid steps in
+    VMEM (TPU grid steps are sequential; j is the minor grid axis)."""
+    k = k_ref[0]
+    v = v_ref[0]
+    block_k, d = k.shape
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :1]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :1]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)                       # [block_q, block_k]
+        dv = dv + jnp.dot(p.T.astype(do.dtype), do,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dq_ref[0, pl.ds(i * block_q, block_q), :] += jnp.dot(
+            ds, k, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, q_len // block_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_fused_impl(q, k, v, o, lse, do, block_q: int = 1024,
+                          block_k: int = 1024):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    scale = 1.0 / math.sqrt(d)
+    tr = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1],
+                                                          d)
+    qt, kt, vt, dot = tr(q), tr(k), tr(v), tr(do)
+    delta = jnp.sum(dot.astype(jnp.float32)
+                    * tr(o).astype(jnp.float32), axis=-1)  # [bh, sq]
+    delta = jnp.broadcast_to(delta[..., None],
+                             delta.shape + (_LANES,))  # lane-padded
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_fused_kernel, scale=scale, q_len=sq,
+                          block_q=block_q),
+        grid=(b * h, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, _LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, _LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk, d), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
+    )(qt, kt, vt, dot, lse, delta)
+
+    untr = lambda x: jnp.transpose(
+        x.reshape(b, h, x.shape[1], d), (0, 2, 1, 3))
+    return untr(dq), untr(dk), untr(dv)
 
 
 def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 512,
@@ -309,7 +414,13 @@ def _fa_fwd(q, k, v):
 
 def _fa_bwd(res, do):
     q, k, v, o, lse = res
-    return _flash_bwd_impl(q, k, v, o, lse, do)
+    import os
+    # fused single-sweep is the measured-best default (U-Net fwd+bwd scan:
+    # 21.07 -> 19.98 ms/step vs the two-pass kernels); the two-pass
+    # formulation stays available for A/B measurement.
+    if os.environ.get("DIFFHANDLES_FLASH_BWD") == "twopass":
+        return _flash_bwd_impl(q, k, v, o, lse, do)
+    return _flash_bwd_fused_impl(q, k, v, o, lse, do)
 
 
 flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)

@@ -190,3 +190,44 @@ def conv3x3_taps(x, w, stride: int = 1):
             t = jnp.einsum("bsc,cf->bsf", xs, w[di, dj])
             acc = t if acc is None else acc + t
     return acc.reshape(b, ho, wo, co)
+
+
+def _taps_dx_dw(x, w, dy):
+    """Input/weight grads of a 3x3 SAME stride-1 conv in the row-major
+    tap-matmul formulation (no conv ops, no Pallas)."""
+    b, h, wdt, ci = x.shape
+    co = dy.shape[-1]
+    # dx: full correlation with the flipped, in/out-transposed kernel
+    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = conv3x3_taps(dy.astype(x.dtype), w_t).astype(x.dtype)
+    # dw[di, dj] = x_shifted^T @ dy
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dyf = dy.reshape(b * h * wdt, co)
+    taps = []
+    for di in range(3):
+        for dj in range(3):
+            xs = xp[:, di:di + h, dj:dj + wdt, :].reshape(b * h * wdt, ci)
+            taps.append(jnp.dot(xs.T, dyf,
+                                preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(3, 3, ci, co).astype(w.dtype)
+    return dx, dw
+
+
+@jax.custom_vjp
+def conv3x3_mixed(x, w):
+    """Pallas flattened-shift forward (the measured-best no-grad conv) with
+    the taps-matmul backward (the measured-best grad path) — candidate for
+    the grad model's stride-1 convs."""
+    return _conv3x3_pallas(x, w)
+
+
+def _mixed_fwd(x, w):
+    return _conv3x3_pallas(x, w), (x, w)
+
+
+def _mixed_bwd(res, dy):
+    x, w = res
+    return _taps_dx_dw(x, w, dy)
+
+
+conv3x3_mixed.defvjp(_mixed_fwd, _mixed_bwd)

@@ -46,7 +46,7 @@ def jnp_zeros(aval):
 _COMPUTE_PATH = (
     "diffuser.py", "inverter.py", "scheduler.py", "guidance.py",
     "models/unet.py", "models/vae.py", "models/clip_text.py",
-    "ops/attention.py", "ops/resize.py",
+    "ops/attention.py", "ops/conv.py", "ops/resize.py",
     "parallel/batch.py", "parallel/sharding.py", "utils/aot.py",
 )
 

@@ -41,14 +41,19 @@ def main():
         pallas = "hybrid"
     if "--mm1" in sys.argv:
         pallas = "mm1x1"
+    if "--taps" in sys.argv:
+        pallas = "taps"
+    if "--mixed" in sys.argv:
+        pallas = "mixed"
     cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
                      param_dtype=jnp.bfloat16, flash_attention=True,
                      remat=False, split_skip_conv=split, pallas_conv=pallas)
     print(f"split={split} unroll={unroll} pallas={pallas}", flush=True)
     unet, params = init_unet_params(cfg, seed=0)
-    x1 = jnp.asarray(np.random.randn(1, 64, 64, 4), jnp.float32)
-    d1 = jnp.asarray(np.random.randn(1, 64, 64, 1), jnp.float32)
-    ctx1 = jnp.asarray(np.random.randn(1, 77, 1024), jnp.float32)
+    bsz = 2 if "--b2" in sys.argv else 1
+    x1 = jnp.asarray(np.random.randn(bsz, 64, 64, 4), jnp.float32)
+    d1 = jnp.asarray(np.random.randn(bsz, 64, 64, 1), jnp.float32)
+    ctx1 = jnp.asarray(np.random.randn(bsz, 77, 1024), jnp.float32)
 
     def scan_fwd(p, x, d, c):
         def step(lat, t):
@@ -74,13 +79,66 @@ def main():
                                    unroll=unroll)
         return out
 
+    def scan_nullopt(p, x, d, c):
+        """EXACT null-opt inner structure (inverter.py): per outer step a
+        fresh-Adam lax.while_loop of 5 fwd+bwd wrt the context + 2 no-grad
+        fwds — isolates the while/Adam-context overhead vs scan_fwdbwd."""
+        import optax
+        from diffusionhandles_tpu.scheduler import (ddim_step,
+                                                    make_ddim_schedule)
+        schedule = make_ddim_schedule(50)
+
+        def mse_loss(cc, lat, t, eps_cond, lat_prev):
+            eps, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1), t, cc)
+            e = eps + 7.5 * (eps_cond - eps)
+            rec = ddim_step(schedule, e, t, lat)
+            return jnp.mean((rec - lat_prev) ** 2)
+
+        lg = jax.value_and_grad(mse_loss)
+        tx = optax.adam(1.0)
+
+        def outer(carry, t):
+            lat, cc = carry
+            eps_cond, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1),
+                                        t, cc)
+            st0 = tx.init(cc)
+
+            def cond_fn(s):
+                j, last, _, _ = s
+                return jnp.logical_and(j < 5, jnp.logical_or(
+                    j == 0, last >= 1e-5))
+
+            def body(s):
+                j, _, u, st = s
+                loss, g = lg(u, lat, t, eps_cond, lat)
+                upd, st = tx.update(g, st, u)
+                u = optax.apply_updates(
+                    u, jax.tree.map(lambda x: 0.01 * x, upd))
+                return j + 1, loss, u, st
+
+            _, _, cc, _ = jax.lax.while_loop(
+                cond_fn, body, (jnp.int32(0), jnp.float32(jnp.inf), cc,
+                                st0))
+            eps_u, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1), t,
+                                     cc)
+            lat = ddim_step(schedule, eps_u, t, lat)
+            return (lat, cc), ()
+
+        (lat, _), _ = jax.lax.scan(outer, (x, c),
+                                   jnp.arange(4, dtype=jnp.int32))
+        return lat
+
     f1 = jax.jit(scan_fwd)
     f2 = jax.jit(scan_fwdbwd)
-    for name, fn in (("scan_fwd", f1), ("scan_fwdbwd", f2)):
+    benches = [("scan_fwd", f1), ("scan_fwdbwd", f2)]
+    if "--nullopt" in sys.argv:
+        benches = [("scan_nullopt", jax.jit(scan_nullopt))]
+    for name, fn in benches:
         t0 = time.perf_counter()
         v = timeit(fn, params, x1, d1, ctx1)
+        steps = 4 * 7 if name == "scan_nullopt" else STEPS
         print(f"{name:>12}: {v * 1e3:8.2f} ms total, "
-              f"{v * 1e3 / STEPS:6.2f} ms/step "
+              f"{v * 1e3 / steps:6.2f} ms/unet-call "
               f"(incl compile {time.perf_counter() - t0:.0f}s)", flush=True)
 
 

@@ -22,9 +22,11 @@ from diffusionhandles_tpu.utils.xplane import report
 
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "fwd"
+    pc = True if "--pallas" in sys.argv else (
+        "taps" if "--taps" in sys.argv else False)
     cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
                      param_dtype=jnp.bfloat16, flash_attention=True,
-                     remat=False, pallas_conv="--pallas" in sys.argv)
+                     remat=False, pallas_conv=pc)
     unet, params = init_unet_params(cfg, seed=0)
     x1 = jnp.asarray(np.random.randn(1, 64, 64, 5), jnp.float32)
     ctx1 = jnp.asarray(np.random.randn(1, 77, 1024), jnp.float32)
@@ -44,7 +46,8 @@ def main():
     jax.block_until_ready(out)
 
     trace_dir = f"/tmp/trace_{what}" + (
-        "_pallas" if "--pallas" in sys.argv else "")
+        "_pallas" if "--pallas" in sys.argv else
+        "_taps" if "--taps" in sys.argv else "")
     with jax.profiler.trace(trace_dir):
         for _ in range(8):
             out = fn(*args)

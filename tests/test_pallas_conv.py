@@ -89,3 +89,67 @@ def test_unet_pallas_conv_matches_monolithic():
         eps_b, _, _ = jax.jit(model_p.apply)(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
                                atol=2e-5, rtol=0)
+
+
+def test_unet_taps_conv_matches_monolithic_incl_grads():
+    """pallas_conv='taps' (the TPU grad-path default: 3x3 convs as nine
+    shifted row-major matmuls, 1x1 shortcuts as matmuls) is a pure
+    rewrite: same parameter tree, same outputs, same input/context grads
+    as the XLA-conv model."""
+    import dataclasses
+    from diffusionhandles_tpu.models.unet import (UNet2DCondition,
+                                                  init_unet_params,
+                                                  tiny_unet_config)
+
+    cfg = tiny_unet_config()
+    model, params = init_unet_params(cfg, seed=0)
+    model_t = UNet2DCondition(dataclasses.replace(cfg, pallas_conv="taps"))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, cfg.sample_size, cfg.sample_size,
+                              cfg.in_channels), jnp.float32)
+    ctx = jnp.asarray(rng.randn(1, 77, cfg.cross_attention_dim),
+                      jnp.float32)
+    t = jnp.int32(421)
+    eps_a, acts_a, _ = jax.jit(model.apply)(params, x, t, ctx)
+    eps_b, acts_b, _ = jax.jit(model_t.apply)(params, x, t, ctx)
+    # fp32 matmul-reassociation noise between the two formulations
+    np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
+                               atol=2e-4, rtol=1e-3)
+    for a, b in zip(acts_a, acts_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+    # Gradient check at down-scaled parameters: at full random init the
+    # net amplifies fp32 reassociation noise enough that elementwise grad
+    # comparison measures chaos, not correctness (same phenomenon as the
+    # pipeline-oracle small-weight rig).
+    params_s = jax.tree.map(lambda a: a * 0.25, params)
+
+    def loss(fn):
+        def f(xx, cc):
+            eps, _, _ = fn(params_s, xx, t, cc)
+            return jnp.sum(eps ** 2)
+        return f
+
+    gx_a, gc_a = jax.jit(jax.grad(loss(model.apply), (0, 1)))(x, ctx)
+    gx_b, gc_b = jax.jit(jax.grad(loss(model_t.apply), (0, 1)))(x, ctx)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               atol=1e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gc_a), np.asarray(gc_b),
+                               atol=1e-5, rtol=1e-3)
+
+
+def test_conv3x3_taps_strided_matches_lax():
+    """conv3x3_taps stride-2 (the taps-mode downsampler) == lax.conv."""
+    from diffusionhandles_tpu.ops.conv import conv3x3_taps
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 32, 64) * 0.1, jnp.float32)
+    got = conv3x3_taps(x, w, stride=2)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(x, w, (2, 2), [(1, 1), (1, 1)],
+                                        dimension_numbers=dn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
