@@ -69,6 +69,12 @@ class GuidedDiffuserConfig:
     # Pallas flattened-shift kernel for eligible 3x3 convs (ops/conv.py);
     # applied only on TPU backends (XLA conv path elsewhere).
     pallas_conv: bool = True
+    # Null-text inner optimization loop form: 'while' (reference
+    # semantics with the on-device early stop — optimal with real
+    # checkpoints where most iterations stop early) or 'scan' (masked
+    # fixed-trip loop, IDENTICAL values; faster when all iterations run,
+    # e.g. random-weight benches).
+    null_opt_inner_loop: str = "while"
 
 
 @dataclasses.dataclass

@@ -74,7 +74,8 @@ class StableNullInverter(NullInverter):
         return AotStore.default().wrap(
             f"ddim_loop:{S}:{model.conf.dtype}", run)
 
-    def _build_null_optimization(self, num_inner_steps: int):
+    def _build_null_optimization(self, num_inner_steps: int,
+                                 inner_loop: str = "while"):
         model = self.model
         # grad path: flash attention + XLA convs (best measured bwd);
         # no-grad passes additionally use the Pallas conv kernel
@@ -146,7 +147,35 @@ class StableNullInverter(NullInverter):
 
                 init = (jnp.int32(0), jnp.float32(jnp.inf), uncond,
                         opt_state0)
-                _, _, uncond, _ = jax.lax.while_loop(cond_fn, body_fn, init)
+                if inner_loop == "scan":
+                    # Masked fixed-trip scan: identical VALUES to the
+                    # while_loop (post-early-stop iterations are masked to
+                    # no-ops), but no data-dependent control flow — XLA
+                    # schedules the fixed loop better (measured on the
+                    # --nullopt/--nulloptscan microbench pair). The
+                    # while_loop stays available: with real checkpoints the
+                    # published early stop skips most iterations, which
+                    # only data-dependent control flow can exploit.
+                    def scan_body(state, _):
+                        j, last_loss, u, opt_state = state
+                        live = jnp.logical_or(j == jnp.int32(0),
+                                              last_loss >= thresh)
+                        loss, g = loss_and_grad(u, unet_params, latent_cur,
+                                                depth64, eps_cond,
+                                                latent_prev, step_idx)
+                        updates, opt2 = tx.update(g, opt_state, u)
+                        u2 = optax.apply_updates(
+                            u, jax.tree.map(lambda x: lr * x, updates))
+                        pick = lambda a, b: jnp.where(live, a, b)
+                        u = jax.tree.map(pick, u2, u)
+                        opt_state = jax.tree.map(pick, opt2, opt_state)
+                        last_loss = jnp.where(live, loss, last_loss)
+                        return (j + 1, last_loss, u, opt_state), None
+                    (_, _, uncond, _), _ = jax.lax.scan(
+                        scan_body, init, None, length=num_inner_steps)
+                else:
+                    _, _, uncond, _ = jax.lax.while_loop(cond_fn, body_fn,
+                                                         init)
 
                 # CFG prev-step with the optimized uncond (reference :163-165).
                 eps_u = uncond_eps_fast(unet_params, latent_cur, depth64,
@@ -161,7 +190,8 @@ class StableNullInverter(NullInverter):
             return uncond_seq  # [S, 1, 77, D]
 
         return AotStore.default().wrap(
-            f"null_opt:{S}:{num_inner_steps}:{gs}:{model.conf.dtype}", run)
+            f"null_opt:{S}:{num_inner_steps}:{gs}:{model.conf.dtype}:"
+            f"{inner_loop}", run)
 
     # ------------------------------------------------------------------
 
@@ -190,10 +220,11 @@ class StableNullInverter(NullInverter):
         traj = self._jit_cache["ddim_loop"](
             model.models.unet_params, latent0, depth64, cond)
 
-        key = ("null_opt", num_inner_steps)
+        inner_loop = getattr(model.conf, "null_opt_inner_loop", "while")
+        key = ("null_opt", num_inner_steps, inner_loop)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_null_optimization(
-                num_inner_steps)
+                num_inner_steps, inner_loop)
         uncond_seq = self._jit_cache[key](
             model.models.unet_params, traj, depth64, uncond, cond,
             jnp.float32(early_stop_epsilon))

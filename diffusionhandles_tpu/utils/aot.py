@@ -122,6 +122,9 @@ class AotStore:
                       "prefetched": 0}
         self._loaded: Dict[str, Any] = {}
         self._prefetch_thread = None
+        import threading
+        self._claim_lock = threading.Lock()
+        self._claims: Dict[str, Any] = {}   # key -> threading.Event
 
     @classmethod
     def default(cls) -> "AotStore":
@@ -159,6 +162,36 @@ class AotStore:
                     f.unlink()
                 except OSError:
                     pass
+
+    def _load_claimed(self, key: str, wait_s: float = 120.0):
+        """Claim-or-wait load: if another thread (the prefetch worker or a
+        concurrent caller) is already deserializing this key, wait for it
+        instead of deserializing the multi-hundred-MB payload twice."""
+        import threading
+
+        with self._claim_lock:
+            if key in self._loaded:
+                return self._loaded[key]
+            ev = self._claims.get(key)
+            if ev is None:
+                self._claims[key] = threading.Event()
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            ev.wait(timeout=wait_s)
+            got = self._loaded.get(key)
+            if got is not None:
+                return got
+            # loader failed or timed out: fall through to own load
+        compiled = self._load(key)
+        with self._claim_lock:
+            if compiled is not None:
+                self._loaded[key] = compiled
+            ev2 = self._claims.pop(key, None)
+        if ev2 is not None:
+            ev2.set()
+        return compiled
 
     def _load(self, key: str):
         if self.dir is None:
@@ -236,11 +269,9 @@ class AotStore:
             key = self._key(name, args)
             compiled = compiled_cache.get(key)
             if compiled is None:
-                # a prefetch thread may have loaded (and device-uploaded)
-                # this executable already
-                compiled = self._loaded.pop(key, None)
-            if compiled is None:
-                compiled = self._load(key)
+                # claim-or-wait: reuses the prefetch thread's load (and its
+                # device upload) instead of deserializing twice
+                compiled = self._load_claimed(key)
             if compiled is None:
                 self.stats["misses"] += 1
                 compiled = jitted.lower(*args).compile()
@@ -300,9 +331,7 @@ class AotStore:
 
         def worker():
             for key, name, avals in records:
-                if key in self._loaded:
-                    continue
-                compiled = self._load(key)
+                compiled = self._load_claimed(key)
                 if compiled is None:
                     continue
                 try:
@@ -318,7 +347,6 @@ class AotStore:
                         print(f"[aot] prefetched {name}", flush=True)
                 except Exception:
                     self.stats["errors"] += 1
-                self._loaded[key] = compiled
 
         self._prefetch_thread = threading.Thread(target=worker,
                                                  daemon=True,

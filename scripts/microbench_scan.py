@@ -116,9 +116,29 @@ def main():
                     u, jax.tree.map(lambda x: 0.01 * x, upd))
                 return j + 1, loss, u, st
 
-            _, _, cc, _ = jax.lax.while_loop(
-                cond_fn, body, (jnp.int32(0), jnp.float32(jnp.inf), cc,
-                                st0))
+            if "--nulloptscan" in sys.argv:
+                # masked-scan variant: 5 fixed iterations, updates gated on
+                # the early-stop predicate (identical values, no
+                # data-dependent control flow)
+                def sbody(s, _):
+                    j, last, u, st = s
+                    live = jnp.logical_or(j == 0, last >= 1e-5)
+                    loss, g = lg(u, lat, t, eps_cond, lat)
+                    upd, st2 = tx.update(g, st, u)
+                    u2 = optax.apply_updates(
+                        u, jax.tree.map(lambda x: 0.01 * x, upd))
+                    pick = lambda a, b: jnp.where(live, a, b)
+                    u = jax.tree.map(pick, u2, u)
+                    st = jax.tree.map(pick, st2, st)
+                    last = jnp.where(live, loss, last)
+                    return (j + 1, last, u, st), ()
+                (_, _, cc, _), _ = jax.lax.scan(
+                    sbody, (jnp.int32(0), jnp.float32(jnp.inf), cc, st0),
+                    None, length=5)
+            else:
+                _, _, cc, _ = jax.lax.while_loop(
+                    cond_fn, body, (jnp.int32(0), jnp.float32(jnp.inf), cc,
+                                    st0))
             eps_u, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1), t,
                                      cc)
             lat = ddim_step(schedule, eps_u, t, lat)
@@ -131,7 +151,7 @@ def main():
     f1 = jax.jit(scan_fwd)
     f2 = jax.jit(scan_fwdbwd)
     benches = [("scan_fwd", f1), ("scan_fwdbwd", f2)]
-    if "--nullopt" in sys.argv:
+    if "--nullopt" in sys.argv or "--nulloptscan" in sys.argv:
         benches = [("scan_nullopt", jax.jit(scan_nullopt))]
     for name, fn in benches:
         t0 = time.perf_counter()

@@ -163,3 +163,45 @@ def test_process_correspondences_dedup_and_masks():
     bg_trans = np.asarray(pc.bg_mask_trans)
     assert bg_trans[2, 2] == 0 and bg_trans[12, 62] == 0  # 500//8
     assert bg_trans.sum() == 64 * 64 - 2
+
+
+def test_null_opt_scan_matches_while():
+    """null_opt_inner_loop='scan' (masked fixed-trip) computes the same
+    null-text embeddings as the reference-semantics while_loop — the scan
+    variant only trades the on-device early-stop for better scheduling.
+    Down-scaled weights keep the comparison out of the chaotic regime
+    (two differently-scheduled XLA programs legitimately differ at fp32
+    rounding level; default random init amplifies that through Adam —
+    same phenomenon as the pipeline-oracle rig)."""
+    import jax
+
+    conf = GuidedDiffuserConfig(num_timesteps=3, dtype="float32",
+                                param_dtype="float32",
+                                activation_store_dtype="float32",
+                                flash_attention=False, pallas_conv=False)
+    d = GuidedStableDiffuser(conf, variant="tiny")
+    scale = lambda tree: jax.tree.map(lambda a: a * 0.05, tree)
+    d.models.unet_params = scale(d.models.unet_params)
+    d.models.text_params = scale(d.models.text_params)
+    d.models.vae_params = scale(d.models.vae_params)
+
+    inv = StableNullInverter(d)
+    rng = np.random.RandomState(3)
+    res = d.image_res
+    img = rng.rand(1, res, res, 3).astype(np.float32)
+    disparity = rng.rand(res, res).astype(np.float32) * 255.0
+
+    d.conf.null_opt_inner_loop = "while"
+    _, noise_w, uncond_w = inv.invert(img, disparity, "a cube",
+                                      num_inner_steps=3,
+                                      early_stop_epsilon=-1.0)
+    inv2 = StableNullInverter(d)
+    d.conf.null_opt_inner_loop = "scan"
+    _, noise_s, uncond_s = inv2.invert(img, disparity, "a cube",
+                                       num_inner_steps=3,
+                                       early_stop_epsilon=-1.0)
+    np.testing.assert_allclose(np.asarray(noise_s), np.asarray(noise_w),
+                               rtol=1e-6, atol=1e-6)
+    scale_u = np.abs(np.asarray(uncond_w)).max()
+    np.testing.assert_allclose(np.asarray(uncond_s), np.asarray(uncond_w),
+                               rtol=1e-3, atol=1e-4 * scale_u)
