@@ -67,7 +67,9 @@ class UNetConfig:
     split_skip_conv: bool = False
     # Run eligible 3x3 convs through the Pallas flattened-shift kernel
     # (ops/conv.py); identical math and parameter tree. False | True |
-    # 'hybrid' (XLA forward, Pallas input-gradient backward).
+    # 'hybrid' (XLA forward, Pallas input-gradient backward) | 'taps'
+    # (row-major tap matmuls) | 'fused' (taps everywhere + each resnet
+    # GN+SiLU+conv half as one Pallas kernel, ops/gn_conv.py).
     pallas_conv: Any = False
 
 
@@ -85,9 +87,47 @@ def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
 
 def _conv3_impl(mode) -> str:
     """Map a pallas_conv config mode to the Conv3x3 impl choice."""
+    if mode == "fused":
+        # "fused" fuses the resnet GN+SiLU+conv halves (ops/gn_conv.py);
+        # every other conv stays in the row-major tap-matmul form.
+        return "taps"
     if mode in ("hybrid", "taps", "mixed"):
         return mode
     return "pallas"
+
+
+class _NormParams(nn.Module):
+    """Parameter tree of nn.GroupNorm (scale/bias) without its compute —
+    lets ResnetBlock route the fused GN+SiLU+conv kernel while keeping a
+    checkpoint-identical parameter layout."""
+
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return scale, bias
+
+
+class _Conv3Params(nn.Module):
+    """Parameter tree of a 3x3 nn.Conv (kernel/bias) without its compute."""
+
+    in_features: int
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
 
 
 class Conv3x3(nn.Module):
@@ -201,6 +241,8 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
+        if self.pallas_conv == "fused":
+            return self._fused(x, temb)
         # "mm1x1": XLA 3x3 convs but matmul-form 1x1 shortcuts (the
         # layout-churn win without the Pallas-conv grad regression)
         use_pallas3 = self.pallas_conv and self.pallas_conv != "mm1x1"
@@ -253,6 +295,43 @@ class ResnetBlock(nn.Module):
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="conv_shortcut")(residual)
+        return h + residual
+
+    def _fused(self, x, temb):
+        """pallas_conv='fused': each GN+SiLU+conv half runs as ONE Pallas
+        kernel (ops/gn_conv.py) when the shape is eligible, with an
+        identical-numerics row-major fallback otherwise. The parameter tree
+        matches the unfused branch exactly (checkpoint-compatible)."""
+        from diffusionhandles_tpu.ops.gn_conv import (gn_silu_conv3x3,
+                                                      gn_silu_conv3x3_ok,
+                                                      gn_silu_conv3x3_ref)
+
+        def half(xin, norm_name, conv_name):
+            ci = xin.shape[-1]
+            g_scale, g_bias = _NormParams(ci, param_dtype=self.param_dtype,
+                                          name=norm_name)()
+            kernel, bias = _Conv3Params(ci, self.out_channels,
+                                        param_dtype=self.param_dtype,
+                                        name=conv_name)()
+            xd = xin.astype(self.dtype)
+            fn = (gn_silu_conv3x3
+                  if gn_silu_conv3x3_ok(xd.shape, kernel.shape, self.groups)
+                  else gn_silu_conv3x3_ref)
+            y = fn(xd, g_scale, g_bias, kernel, self.groups, 1e-5)
+            return y + bias.astype(self.dtype)
+
+        residual = x
+        h = half(x, "norm1", "conv1")
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     param_dtype=self.param_dtype,
+                     name="time_emb_proj")(nn.silu(temb).astype(self.dtype))
+        h = h + t[:, None, None, :]
+        h = half(h, "norm2", "conv2")
+        if residual.shape[-1] != self.out_channels:
+            residual = Conv1x1AsMatmul(
+                self.out_channels, dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv_shortcut")(residual)
         return h + residual
 
 
@@ -386,7 +465,7 @@ class Downsample(nn.Module):
         # "flat" mode only: the tap-matmul form compiled pathologically
         # slowly on this runtime (>25 min for a 16-step scan), so the
         # measured-good default keeps XLA's stride-2 conv here
-        if self.pallas_conv in ("flat", "taps"):
+        if self.pallas_conv in ("flat", "taps", "fused"):
             return Conv3x3(self.channels, dtype=self.dtype,
                            param_dtype=self.param_dtype, stride=2,
                            impl=_conv3_impl(self.pallas_conv),

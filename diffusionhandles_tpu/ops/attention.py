@@ -28,6 +28,19 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 8
 
 
+def _dot_nt(a, b):
+    """a @ b.T via dot_general (no materialized transpose; the MXU takes
+    either operand orientation natively)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """a.T @ b via dot_general (no materialized transpose)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def dot_product_attention(q, k, v, *, return_probs: bool = False,
                           use_flash: bool = False):
     """Multi-head attention.
@@ -64,11 +77,13 @@ def dot_product_attention(q, k, v, *, return_probs: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len,
                   block_k):
     # Matmuls run in the INPUT dtype (bf16 in the pipeline -> MXU-native
     # rate; fp32 MXU passes are ~8x slower) with fp32 accumulation; the
-    # softmax state stays fp32.
+    # softmax state stays fp32. q arrives PRE-SCALED by 1/sqrt(d) (folded
+    # in the wrapper: scaling [S, d] once beats scaling every [bq, bk]
+    # logit block — an 84M-element VPU multiply per 4096-token layer).
     q = q_ref[0]  # [block_q, d]
     block_q, d = q.shape
 
@@ -76,7 +91,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _dot_nt(q, k)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -105,11 +120,12 @@ def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 2048):
     block_k = min(block_k, sk)
     scale = 1.0 / math.sqrt(d)
     qt = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, sq, d)
+    qt = (qt.astype(jnp.float32) * scale).astype(q.dtype)
     kt = jnp.transpose(k, (0, 2, 1, 3)).reshape(b * h, sk, d)
     vt = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, sk, d)
 
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=sk,
+        functools.partial(_flash_kernel, kv_len=sk,
                           block_k=block_k),
         grid=(b * h, sq // block_q),
         in_specs=[
@@ -169,7 +185,8 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048):
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dq_ref, *, scale, kv_len, block_k):
+                         dq_ref, *, kv_len, block_k):
+    # q arrives pre-scaled; the wrapper applies the final 1/sqrt(d) to dq.
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0][:, :1]      # [block_q, 1] (lane-padded buffer)
@@ -179,10 +196,10 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def body(i, dq):
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _dot_nt(q, k)
         p = jnp.exp(s - lse)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(k.dtype)
+        dp = _dot_nt(do, v)
+        ds = (p * (dp - delta)).astype(k.dtype)
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, kv_len // block_k, body,
@@ -191,7 +208,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, *, scale, q_len, block_q):
+                          dk_ref, dv_ref, *, q_len, block_q):
+    # q arrives pre-scaled, so dk = ds~.T @ (q/sqrt(d)) needs no rescale.
     k = k_ref[0]
     v = v_ref[0]
     block_k, d = k.shape
@@ -202,13 +220,12 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :1]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :1]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _dot_nt(q, k)
         p = jnp.exp(s - lse)  # [block_q, block_k]
-        dv = dv + jnp.dot(p.T.astype(do.dtype), do,
-                          preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dv = dv + _dot_tn(p.astype(do.dtype), do)
+        dp = _dot_nt(do, v)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk = dk + _dot_tn(ds, q)
         return dk, dv
 
     dk0 = jnp.zeros((block_k, d), jnp.float32)
@@ -219,7 +236,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                            dq_ref, dk_ref, dv_ref, *, scale, q_len,
+                            dq_ref, dk_ref, dv_ref, *, q_len,
                             block_q):
     """Single-sweep FlashAttention backward: for one KV block, loop over
     all query blocks computing p = exp(s - lse) ONCE and emitting all
@@ -242,13 +259,12 @@ def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :1]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :1]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _dot_nt(q, k)
         p = jnp.exp(s - lse)                       # [block_q, block_k]
-        dv = dv + jnp.dot(p.T.astype(do.dtype), do,
-                          preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dv = dv + _dot_tn(p.astype(do.dtype), do)
+        dp = _dot_nt(do, v)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk = dk + _dot_tn(ds, q)
         dq_ref[0, pl.ds(i * block_q, block_q), :] += jnp.dot(
             ds, k, preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype)
@@ -271,13 +287,14 @@ def _flash_bwd_fused_impl(q, k, v, o, lse, do, block_q: int = 1024,
     tr = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1],
                                                           d)
     qt, kt, vt, dot = tr(q), tr(k), tr(v), tr(do)
+    qt = (qt.astype(jnp.float32) * scale).astype(q.dtype)
     delta = jnp.sum(dot.astype(jnp.float32)
                     * tr(o).astype(jnp.float32), axis=-1)  # [bh, sq]
     delta = jnp.broadcast_to(delta[..., None],
                              delta.shape + (_LANES,))  # lane-padded
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_fused_kernel, scale=scale, q_len=sq,
+        functools.partial(_flash_bwd_fused_kernel, q_len=sq,
                           block_q=block_q),
         grid=(b * h, sk // block_k),
         in_specs=[
@@ -311,6 +328,7 @@ def _flash_bwd_fused_impl(q, k, v, o, lse, do, block_q: int = 1024,
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),
     )(qt, kt, vt, dot, lse, delta)
+    dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
 
     untr = lambda x: jnp.transpose(
         x.reshape(b, h, x.shape[1], d), (0, 2, 1, 3))
@@ -327,13 +345,14 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 512,
     tr = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1],
                                                           d)
     qt, kt, vt, dot = tr(q), tr(k), tr(v), tr(do)
+    qt = (qt.astype(jnp.float32) * scale).astype(q.dtype)
     delta = jnp.sum(dot.astype(jnp.float32)
                     * tr(o).astype(jnp.float32), axis=-1)  # [bh, sq]
     delta = jnp.broadcast_to(delta[..., None],
                              delta.shape + (_LANES,))  # lane-padded
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=sk,
+        functools.partial(_flash_bwd_dq_kernel, kv_len=sk,
                           block_k=block_k),
         grid=(b * h, sq // block_q),
         in_specs=[
@@ -356,9 +375,10 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q: int = 512,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(qt, kt, vt, dot, lse, delta)
+    dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=scale, q_len=sq,
+        functools.partial(_flash_bwd_dkv_kernel, q_len=sq,
                           block_q=block_q),
         grid=(b * h, sk // block_k),
         in_specs=[

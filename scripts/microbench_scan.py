@@ -45,6 +45,8 @@ def main():
         pallas = "taps"
     if "--mixed" in sys.argv:
         pallas = "mixed"
+    if "--fused" in sys.argv:
+        pallas = "fused"
     cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
                      param_dtype=jnp.bfloat16, flash_attention=True,
                      remat=False, split_skip_conv=split, pallas_conv=pallas)
