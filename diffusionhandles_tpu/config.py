@@ -75,6 +75,15 @@ class GuidedDiffuserConfig:
     # fixed-trip loop, IDENTICAL values; faster when all iterations run,
     # e.g. random-weight benches).
     null_opt_inner_loop: str = "while"
+    # Capture the guidance activation stacks during the null-text
+    # inversion's per-timestep conditional U-Net pass instead of running
+    # the separate recording-reconstruction scan: the inversion's CFG
+    # roll-forward visits exactly the recording trajectory, so its
+    # cond-row activations equal the recording pass's (the pipeline facade
+    # then serves generate_input_image from the capture — one whole
+    # 50-step batch-2 scan saved per edit). Disable for strict
+    # phase-by-phase parity debugging.
+    fused_recording: bool = True
 
 
 @dataclasses.dataclass

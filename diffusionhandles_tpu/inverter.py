@@ -75,8 +75,11 @@ class StableNullInverter(NullInverter):
             f"ddim_loop:{S}:{model.conf.dtype}", run)
 
     def _build_null_optimization(self, num_inner_steps: int,
-                                 inner_loop: str = "while"):
+                                 inner_loop: str = "while",
+                                 record: bool = False):
         model = self.model
+        act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            model.conf.activation_store_dtype]
         # grad path: flash attention + XLA convs (best measured bwd);
         # no-grad passes additionally use the Pallas conv kernel
         unet = model.models.unet
@@ -121,9 +124,18 @@ class StableNullInverter(NullInverter):
                 lr = 1e-2 * (1.0 - step_idx.astype(jnp.float32) / 100.0)
                 thresh = epsilon + step_idx.astype(jnp.float32) * 2e-5
 
-                eps_cond, _, _ = unet_fast.apply(
+                eps_cond, cond_acts, _ = unet_fast.apply(
                     unet_params, model._unet_in(latent_cur, depth64),
                     timesteps[step_idx], cond_emb)
+                # Conditional-row activations depend only on
+                # (latent_cur, t, cond) — never on the uncond embedding —
+                # and latent_cur rolls forward on exactly the recording
+                # reconstruction's CFG trajectory, so this capture equals
+                # the separate recording scan's
+                # (diffuser._build_initial_inference cond row; reference's
+                # batch-1 cond pass, guided_stable_diffuser.py:222-240).
+                recorded = (tuple(a[0].astype(act_dtype) for a in cond_acts)
+                            if record else ())
 
                 # Fresh Adam per timestep (reference :143).
                 tx = optax.adam(1.0)  # lr applied via scaling below
@@ -182,31 +194,41 @@ class StableNullInverter(NullInverter):
                                         uncond, step_idx)
                 eps = eps_u + gs * (eps_cond - eps_u)
                 latent_cur = ddim_step(schedule, eps, step_idx, latent_cur)
-                return (latent_cur, uncond), uncond
+                return (latent_cur, uncond), (uncond, recorded)
 
-            (_, _), uncond_seq = jax.lax.scan(
+            (final_latent, _), (uncond_seq, acts) = jax.lax.scan(
                 outer_step, (latents_traj[S], uncond0),
                 (jnp.arange(S), latent_prev_seq))
+            if record:
+                # uncond_seq [S, 1, 77, D]; acts: 3x [S, H, W, C] stacks;
+                # final_latent: the recording recon's final latents.
+                return uncond_seq, acts, final_latent
             return uncond_seq  # [S, 1, 77, D]
 
         return AotStore.default().wrap(
             f"null_opt:{S}:{num_inner_steps}:{gs}:{model.conf.dtype}:"
-            f"{inner_loop}", run)
+            f"{inner_loop}" + (f":rec:{model.conf.activation_store_dtype}"
+                               if record else ""), run)
 
     # ------------------------------------------------------------------
 
     def invert(self, target_img, depth, prompt: str,
                num_inner_steps: int = 10, early_stop_epsilon: float = 1e-5,
-               verbose: bool = False):
+               verbose: bool = False, record_activations: bool = False):
         """Invert an image to (init noise, per-step null embeddings).
 
         Args:
           target_img: [1, H, W, 3] in [0, 1] (NHWC).
           depth: disparity map (any of [H,W] / [1,1,H,W] layouts).
+          record_activations: additionally capture the guidance activation
+            stacks + final latents of the recording reconstruction from the
+            inversion's own conditional passes (see config.fused_recording)
+            and return them as a fourth element (acts list, final_latents).
 
         Returns ((target_img, recon_img), init_noise_latent, uncond_seq)
         matching the reference's invert() contract
-        (stable_null_inverter.py:169-181).
+        (stable_null_inverter.py:169-181), plus the recording when
+        `record_activations`.
         """
         model = self.model
         depth64 = model.init_depth(depth) if model.conf.use_depth else None
@@ -221,12 +243,17 @@ class StableNullInverter(NullInverter):
             model.models.unet_params, latent0, depth64, cond)
 
         inner_loop = getattr(model.conf, "null_opt_inner_loop", "while")
-        key = ("null_opt", num_inner_steps, inner_loop)
+        key = ("null_opt", num_inner_steps, inner_loop, record_activations)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_null_optimization(
-                num_inner_steps, inner_loop)
-        uncond_seq = self._jit_cache[key](
+                num_inner_steps, inner_loop, record=record_activations)
+        out = self._jit_cache[key](
             model.models.unet_params, traj, depth64, uncond, cond,
             jnp.float32(early_stop_epsilon))
 
-        return (target_img, recon_img), traj[self.num_ddim_steps], uncond_seq
+        init_noise = traj[self.num_ddim_steps]
+        if record_activations:
+            uncond_seq, acts, final_latents = out
+            return ((target_img, recon_img), init_noise, uncond_seq,
+                    (list(acts), final_latents))
+        return (target_img, recon_img), init_noise, out
