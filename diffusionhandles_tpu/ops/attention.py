@@ -112,7 +112,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len,
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q, _LANES))
 
 
-def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 2048):
+def _flash_onepass_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+    """Plain softmax attention for one query block against the WHOLE KV
+    range: no running max/denominator carry, one exp sweep, no alpha
+    rescale of the accumulator. Measured ~8% faster than the online
+    formulation at the U-Net's 4096-token shape (scripts/
+    probe_attention.py) — the sequences here are short enough that the
+    full [block_q, sk] logit block fits VMEM, so FlashAttention's online
+    softmax buys nothing."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = _dot_nt(q, k)                       # [block_q, sk] fp32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), lse_ref[0].shape)
+
+
+def _flash_fwd_impl(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
     """Returns (out [B,S,H,D], lse [B*H, S])."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -124,9 +144,11 @@ def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 2048):
     kt = jnp.transpose(k, (0, 2, 1, 3)).reshape(b * h, sk, d)
     vt = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, sk, d)
 
+    kernel = (_flash_onepass_kernel if block_k == sk
+              else functools.partial(_flash_kernel, kv_len=sk,
+                                     block_k=block_k))
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_len=sk,
-                          block_k=block_k),
+        kernel,
         grid=(b * h, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
@@ -147,13 +169,13 @@ def _flash_fwd_impl(q, k, v, block_q: int = 512, block_k: int = 2048):
             jax.ShapeDtypeStruct((b * h, sq, _LANES), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(qt, kt, vt)
     return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3)), lse
 
 
-def _flash_supported(sq: int, sk: int, block_q: int = 512,
-                     block_k: int = 2048) -> bool:
+def _flash_supported(sq: int, sk: int, block_q: int = 2048,
+                     block_k: int = 1 << 20) -> bool:
     """Kernel CORRECTNESS constraint. Defaults MUST match the impl defaults
     (_flash_fwd_impl / _flash_bwd_fused_impl / _flash_bwd_impl): the grid
     floor-division silently drops trailing rows/KV blocks for non-divisible
@@ -169,15 +191,15 @@ def _flash_supported(sq: int, sk: int, block_q: int = 512,
             and sq % bq_bwd == 0 and sk % bk_bwd == 0)
 
 
-def _flash_ok(sq: int, sk: int, block_q: int = 512,
-              block_k: int = 2048) -> bool:
+def _flash_ok(sq: int, sk: int, block_q: int = 2048,
+              block_k: int = 1 << 20) -> bool:
     """Routing heuristic: long-enough (dense wins at short cross-attn
     lengths like 77) AND supported by the kernels."""
     return sk >= 512 and _flash_supported(sq, sk, block_q, block_k)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048):
+def flash_attention(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
     """Flash attention for [B, S, H, D] inputs (non-causal, unmasked)."""
     if not _flash_ok(q.shape[1], k.shape[1], block_q, block_k):
         return dot_product_attention(q, k, v)
