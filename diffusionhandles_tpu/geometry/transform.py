@@ -14,6 +14,7 @@ Re-designs reference: diffhandles/depth_transform.py:73-363:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -133,7 +134,43 @@ def transform_depth_pc(depth, bg_depth, fg_mask, intrinsics,
                    else np.asarray(translation, np.float32))
     rot_angle = 0.0 if rot_angle is None else float(rot_angle)
 
-    intrinsics = jnp.asarray(intrinsics, jnp.float32)
+    inpainted, u, v, visible, cleaned = _transform_depth_pc_device(
+        depth, bg_depth, fg, jnp.asarray(intrinsics, jnp.float32),
+        jnp.asarray(rot_axis), jnp.float32(rot_angle),
+        jnp.asarray(translation), img_res=img_res,
+        use_input_depth_normalization=use_input_depth_normalization)
+
+    # Correspondences: per fg point (raster order over original pixels),
+    # original (x, y) and winning target pixel (u, v); keep points that are
+    # visible and land inside the cleaned mask (reference :299-336). The
+    # variable-length packing (np.nonzero) is inherently host-side; the
+    # transferred fields are a few MB.
+    n = img_res * img_res
+    fg_idx = np.nonzero(np.asarray(fg).reshape(-1) > 0.5)[0]
+    u = np.asarray(u)[n:][fg_idx]
+    v = np.asarray(v)[n:][fg_idx]
+    visible = np.asarray(visible)[n:][fg_idx]
+    cleaned_np = np.asarray(cleaned)
+    keep = visible & cleaned_np[v, u]
+    orig_y, orig_x = fg_idx[keep] // img_res, fg_idx[keep] % img_res
+    corr = pack_correspondences(orig_x, orig_y, u[keep], v[keep])
+
+    edited_disparity = jnp.asarray(inpainted, jnp.float32)[None, None]
+    return edited_disparity, corr
+
+
+@functools.partial(jax.jit, static_argnames=("img_res",
+                                             "use_input_depth_normalization"))
+def _transform_depth_pc_device(depth, bg_depth, fg, intrinsics, rot_axis,
+                               rot_angle, translation, img_res: int,
+                               use_input_depth_normalization: bool):
+    """The whole device path of transform_depth_pc under ONE jit: lift ->
+    rigid transform -> z-buffer splat -> disparity normalize -> mask
+    morphology -> Poisson inpaint. Eagerly dispatched, the same chain costs
+    ~550 ms in tunnel round-trips (scripts/probe_geometry.py); fused it is
+    a few ms of device work. The rotation/translation arguments are traced
+    (not baked), so per-edit transforms reuse one executable."""
+    fg = jnp.asarray(fg, jnp.float32)
     bg_pts = depth_to_world_coords(bg_depth, intrinsics)   # [H, W, 3]
     pts = depth_to_world_coords(depth, intrinsics)
 
@@ -174,17 +211,4 @@ def transform_depth_pc(depth, bg_depth, fg_mask, intrinsics,
     inpaint_mask = jnp.logical_xor(target_mask, cleaned)
     inpainted = poisson_solve(rendered_disparity, inpaint_mask)
 
-    # Correspondences: per fg point (raster order over original pixels),
-    # original (x, y) and winning target pixel (u, v); keep points that are
-    # visible and land inside the cleaned mask (reference :299-336).
-    fg_idx = np.nonzero(np.asarray(fg_flat))[0]
-    u = np.asarray(splat.u)[n:][fg_idx]
-    v = np.asarray(splat.v)[n:][fg_idx]
-    visible = np.asarray(splat.visible)[n:][fg_idx]
-    cleaned_np = np.asarray(cleaned)
-    keep = visible & cleaned_np[v, u]
-    orig_y, orig_x = fg_idx[keep] // img_res, fg_idx[keep] % img_res
-    corr = pack_correspondences(orig_x, orig_y, u[keep], v[keep])
-
-    edited_disparity = jnp.asarray(inpainted, jnp.float32)[None, None]
-    return edited_disparity, corr
+    return inpainted, splat.u, splat.v, splat.visible, cleaned

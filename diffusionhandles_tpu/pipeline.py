@@ -24,8 +24,7 @@ from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
 from diffusionhandles_tpu.geometry.depth import normalize_depth
 from diffusionhandles_tpu.geometry.transform import transform_depth
 from diffusionhandles_tpu.inverter import StableNullInverter
-from diffusionhandles_tpu.ops.morphology import binary_dilation_iter
-from diffusionhandles_tpu.ops.poisson import solve_laplacian_depth
+from diffusionhandles_tpu.ops.poisson import harmonize_depth
 
 
 class DiffusionHandles:
@@ -145,8 +144,7 @@ class DiffusionHandles:
             np.shape(depth)[-2], np.shape(depth)[-1])
         bg2d = np.asarray(bg_depth, np.float32).reshape(depth2d.shape)
         mask2d = np.asarray(fg_mask).reshape(depth2d.shape) > 0.5
-        dilated = binary_dilation_iter(mask2d, 15)
-        out = solve_laplacian_depth(depth2d, bg2d, dilated)
+        out = harmonize_depth(depth2d, bg2d, mask2d)
         return np.asarray(out)[None, None]
 
     def transform_foreground(self, depth, prompt: str, fg_mask, bg_depth,
