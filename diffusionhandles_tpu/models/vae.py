@@ -32,10 +32,37 @@ class VAEConfig:
     scaling_factor: float = SD_VAE_SCALING
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # "xla" (nn.Conv) | "taps" (row-major shifted-matmul 3x3s + matmul
+    # 1x1s, parameter-tree identical — the U-Net's flatland layout
+    # strategy applied to the VAE; measured on the 512^2 decode where XLA
+    # conv layouts run far off roofline). The strided encoder downsample
+    # keeps nn.Conv (diffusers' asymmetric (0,1) padding).
+    conv_impl: str = "xla"
 
     @property
     def downscale_factor(self) -> int:
         return 2 ** (len(self.block_out_channels) - 1)
+
+
+def _conv3(impl: str, features: int, name: str, dtype, param_dtype):
+    """3x3 SAME stride-1 conv in the configured implementation (identical
+    'kernel'/'bias' parameter tree either way)."""
+    if impl == "taps":
+        from diffusionhandles_tpu.models.unet import Conv3x3
+        return Conv3x3(features, dtype=dtype, param_dtype=param_dtype,
+                       impl="taps", name=name)
+    return nn.Conv(features, (3, 3), padding=1, dtype=dtype,
+                   param_dtype=param_dtype, name=name)
+
+
+def _conv1(impl: str, features: int, name: str, dtype, param_dtype):
+    """1x1 conv in the configured implementation (same parameter tree)."""
+    if impl == "taps":
+        from diffusionhandles_tpu.models.unet import Conv1x1AsMatmul
+        return Conv1x1AsMatmul(features, dtype=dtype,
+                               param_dtype=param_dtype, name=name)
+    return nn.Conv(features, (1, 1), dtype=dtype, param_dtype=param_dtype,
+                   name=name)
 
 
 class VAEResnet(nn.Module):
@@ -43,6 +70,7 @@ class VAEResnet(nn.Module):
     groups: int = 32
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -51,18 +79,18 @@ class VAEResnet(nn.Module):
                          dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv1")(h)
+        h = _conv3(self.conv_impl, self.out_channels, "conv1",
+                   self.dtype, self.param_dtype)(h)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv2")(h)
+        h = _conv3(self.conv_impl, self.out_channels, "conv2",
+                   self.dtype, self.param_dtype)(h)
         if residual.shape[-1] != self.out_channels:
-            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                               param_dtype=self.param_dtype,
-                               name="conv_shortcut")(residual)
+            residual = _conv1(self.conv_impl, self.out_channels,
+                              "conv_shortcut", self.dtype,
+                              self.param_dtype)(residual)
         return h + residual
 
 
@@ -98,35 +126,32 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
+        res = lambda ch, name: VAEResnet(
+            ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, conv_impl=cfg.conv_impl, name=name)
         x = x.astype(cfg.dtype)
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
-                    dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                    name="conv_in")(x)
+        x = _conv3(cfg.conv_impl, cfg.block_out_channels[0], "conv_in",
+                   cfg.dtype, cfg.param_dtype)(x)
         n = len(cfg.block_out_channels)
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                x = VAEResnet(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                              param_dtype=cfg.param_dtype,
-                              name=f"down_{i}_resnets_{j}")(x)
+                x = res(ch, f"down_{i}_resnets_{j}")(x)
             if i < n - 1:
                 x = nn.Conv(ch, (3, 3), strides=2,
                             padding=((0, 1), (0, 1)),  # diffusers pads (0,1)
                             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                             name=f"down_{i}_downsample")(x)
         ch = cfg.block_out_channels[-1]
-        x = VAEResnet(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                      param_dtype=cfg.param_dtype, name="mid_resnets_0")(x)
+        x = res(ch, "mid_resnets_0")(x)
         x = VAEAttention(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
                          param_dtype=cfg.param_dtype, name="mid_attn")(x)
-        x = VAEResnet(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                      param_dtype=cfg.param_dtype, name="mid_resnets_1")(x)
+        x = res(ch, "mid_resnets_1")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=jnp.float32, param_dtype=cfg.param_dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(cfg.dtype)
-        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
-                    dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                    name="conv_out")(x)
+        x = _conv3(cfg.conv_impl, 2 * cfg.latent_channels, "conv_out",
+                   cfg.dtype, cfg.param_dtype)(x)
         return x
 
 
@@ -136,34 +161,32 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z):
         cfg = self.config
+        res = lambda ch, name: VAEResnet(
+            ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, conv_impl=cfg.conv_impl, name=name)
         z = z.astype(cfg.dtype)
         ch = cfg.block_out_channels[-1]
-        x = nn.Conv(ch, (3, 3), padding=1, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype, name="conv_in")(z)
-        x = VAEResnet(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                      param_dtype=cfg.param_dtype, name="mid_resnets_0")(x)
+        x = _conv3(cfg.conv_impl, ch, "conv_in", cfg.dtype,
+                   cfg.param_dtype)(z)
+        x = res(ch, "mid_resnets_0")(x)
         x = VAEAttention(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
                          param_dtype=cfg.param_dtype, name="mid_attn")(x)
-        x = VAEResnet(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                      param_dtype=cfg.param_dtype, name="mid_resnets_1")(x)
+        x = res(ch, "mid_resnets_1")(x)
         n = len(cfg.block_out_channels)
         rev = list(reversed(cfg.block_out_channels))
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                x = VAEResnet(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                              param_dtype=cfg.param_dtype,
-                              name=f"up_{i}_resnets_{j}")(x)
+                x = res(ch, f"up_{i}_resnets_{j}")(x)
             if i < n - 1:
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-                x = nn.Conv(ch, (3, 3), padding=1, dtype=cfg.dtype,
-                            param_dtype=cfg.param_dtype,
-                            name=f"up_{i}_upsample")(x)
+                x = _conv3(cfg.conv_impl, ch, f"up_{i}_upsample",
+                           cfg.dtype, cfg.param_dtype)(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=jnp.float32, param_dtype=cfg.param_dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(cfg.dtype)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
-                    param_dtype=cfg.param_dtype, name="conv_out")(x)
+        x = _conv3(cfg.conv_impl, cfg.out_channels, "conv_out",
+                   jnp.float32, cfg.param_dtype)(x)
         return x.astype(jnp.float32)
 
 
@@ -175,9 +198,9 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.config, name="encoder")
         self.decoder = Decoder(self.config, name="decoder")
-        conv = lambda c, name: nn.Conv(c, (1, 1), dtype=self.config.dtype,
-                                       param_dtype=self.config.param_dtype,
-                                       name=name)
+        conv = lambda c, name: _conv1(self.config.conv_impl, c, name,
+                                      self.config.dtype,
+                                      self.config.param_dtype)
         self.quant_conv = conv(2 * self.config.latent_channels, "quant_conv")
         self.post_quant_conv = conv(self.config.latent_channels,
                                     "post_quant_conv")

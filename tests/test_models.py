@@ -183,3 +183,26 @@ def test_split_skip_conv_matches_monolithic():
     for a, b in zip(acts_a, acts_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=0)
+
+
+def test_vae_taps_conv_impl_parity():
+    """conv_impl='taps' (row-major shifted-matmul convs) must compute the
+    same function as the XLA nn.Conv graph on an IDENTICAL parameter tree
+    (the converter contract: one checkpoint serves both modes)."""
+    import dataclasses as _dc
+    cfg_x = tiny_vae_config()
+    cfg_t = _dc.replace(cfg_x, conv_impl="taps")
+    model_x, params = init_vae_params(cfg_x, seed=3, image_size=32)
+    model_t = AutoencoderKL(cfg_t)
+    # identical tree consumed by both modes (names and shapes must match)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    z_x = model_x.apply(params, img, method=AutoencoderKL.encode)
+    z_t = model_t.apply(params, img, method=AutoencoderKL.encode)
+    np.testing.assert_allclose(np.asarray(z_x, np.float32),
+                               np.asarray(z_t, np.float32),
+                               rtol=1e-4, atol=1e-4)
+    out_x = model_x.apply(params, z_x, method=AutoencoderKL.decode)
+    out_t = model_t.apply(params, z_x, method=AutoencoderKL.decode)
+    np.testing.assert_allclose(np.asarray(out_x, np.float32),
+                               np.asarray(out_t, np.float32),
+                               rtol=1e-4, atol=1e-4)
