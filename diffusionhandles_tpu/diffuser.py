@@ -31,9 +31,11 @@ import numpy as np
 from diffusionhandles_tpu.config import (GuidedDiffuserConfig,
                                          ModelPathsConfig)
 from diffusionhandles_tpu.guidance import (ProcessedCorrespondences,
-                                           background_loss,
+                                           background_loss_apply,
+                                           background_orig_precompute,
                                            build_guidance_weight_schedule,
-                                           foreground_loss,
+                                           foreground_loss_apply,
+                                           foreground_orig_precompute,
                                            process_correspondences)
 from diffusionhandles_tpu.models.clip_text import (CLIPTextConfig,
                                                    CLIPTextEncoder,
@@ -400,16 +402,16 @@ class GuidedStableDiffuser(GuidedDiffuser):
             return ddim_step(schedule, noise_pred[None], step_idx, latents)
 
         def energy(latents, unet_params, depth64, cond_emb, step_idx,
-                   acts_orig_t, fgw_it, bgw_it, pc):
+                   fg_pre, bg_pre, fgw_it, bgw_it, pc):
             model_in = self._unet_in(latents, depth64)
             _, acts, _ = unet.apply(unet_params, model_in,
                                     timesteps[step_idx], cond_emb)
             loss = 0.0
             for k in range(3):
-                loss = loss + fgw_it[k] * foreground_loss(
-                    acts[k][0], acts_orig_t[k], pc, fg_patch, act_size)
-                loss = loss + bgw_it[k] * background_loss(
-                    acts[k][0], acts_orig_t[k], pc, bg_patch, act_size,
+                loss = loss + fgw_it[k] * foreground_loss_apply(
+                    fg_pre[k], acts[k][0], pc, fg_patch, act_size)
+                loss = loss + bgw_it[k] * background_loss_apply(
+                    bg_pre[k], acts[k][0], pc, bg_patch, act_size,
                     bg_loss_type)
             return loss
 
@@ -420,10 +422,19 @@ class GuidedStableDiffuser(GuidedDiffuser):
             # acts_orig: tuple of 3 [T, H, W, C]; fgw/bgw: [gms, opt, 3].
             def guided_step(latents, xs):
                 step_idx, uncond_t, acts_orig_t, fgw_t, bgw_t = xs
+                # Latent-independent halves of the losses, hoisted out of
+                # the opt iterations (and out of jax.grad's tape): computed
+                # once per denoising step instead of num_optsteps times.
+                fg_pre = tuple(foreground_orig_precompute(
+                    acts_orig_t[k], pc, fg_patch, act_size)
+                    for k in range(3))
+                bg_pre = tuple(background_orig_precompute(
+                    acts_orig_t[k], pc, bg_patch, act_size, bg_loss_type)
+                    for k in range(3))
 
                 def one_iter(it, lat):
                     g = grad_energy(lat, unet_params, depth64, cond_emb,
-                                    step_idx, acts_orig_t, fgw_t[it],
+                                    step_idx, fg_pre, bg_pre, fgw_t[it],
                                     bgw_t[it], pc)
                     return lat - glr * g
 

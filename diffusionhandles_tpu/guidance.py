@@ -138,6 +138,42 @@ def _to_hwc_64(activation, size):
                      h_axis=0, w_axis=1)
 
 
+def foreground_orig_precompute(activations_orig,
+                               pc: ProcessedCorrespondences,
+                               patch_size: int, activations_size):
+    """Latent-independent half of foreground_loss: the w1-pooled ORIG
+    features gathered at the orig cells ([max_corr, C]) plus the constant
+    w2 scatter grid and its pooling denominator. Computing this once per
+    denoising step (instead of inside every guidance opt iteration's
+    fwd+bwd through jax.grad) removes the orig resize, two pools and two
+    scatters from the hot energy evaluation with identical values."""
+    f_orig = _to_hwc_64(activations_orig, activations_size)
+    h, w = activations_size
+    valid = pc.corr_w > 0
+    w1 = jnp.zeros((h, w), jnp.float32).at[pc.corr_oy, pc.corr_ox].max(
+        valid.astype(jnp.float32))
+    w2 = jnp.zeros((h, w), jnp.float32).at[pc.corr_ty, pc.corr_tx].max(
+        valid.astype(jnp.float32))
+    f1 = _avg_pool_same(w1[..., None] * f_orig, patch_size) / (
+        _avg_pool_same(w1[..., None], patch_size) + EPS)
+    w2_den = _avg_pool_same(w2[..., None], patch_size)
+    return (f1[pc.corr_oy, pc.corr_ox], w2, w2_den)
+
+
+def foreground_loss_apply(pre, activations, pc: ProcessedCorrespondences,
+                          patch_size: int, activations_size):
+    """Current-side half of foreground_loss (see foreground_orig_precompute)."""
+    f1_gathered, w2, w2_den = pre
+    f_cur = _to_hwc_64(activations, activations_size)
+    f2 = _avg_pool_same(w2[..., None] * f_cur, patch_size) / (w2_den + EPS)
+    d = jnp.abs(f1_gathered - f2[pc.corr_ty, pc.corr_tx])
+    weights = pc.corr_w
+    total = jnp.sum(weights)
+    # mean over correspondence entries, then channels (losses.py:80-82).
+    per_channel = jnp.sum(d * weights[:, None], axis=0) / (total + EPS)
+    return jnp.mean(per_channel)
+
+
 def foreground_loss(activations, activations_orig,
                     pc: ProcessedCorrespondences, patch_size: int,
                     activations_size):
@@ -146,53 +182,60 @@ def foreground_loss(activations, activations_orig,
 
     activations/activations_orig: [H, W, C] (NHWC single image).
     """
+    pre = foreground_orig_precompute(activations_orig, pc, patch_size,
+                                     activations_size)
+    return foreground_loss_apply(pre, activations, pc, patch_size,
+                                 activations_size)
+
+
+def background_orig_precompute(activations_orig,
+                               pc: ProcessedCorrespondences,
+                               patch_size: int, activations_size,
+                               loss_type: str = "global_avg"):
+    """Latent-independent half of background_loss (see
+    foreground_orig_precompute)."""
     f_orig = _to_hwc_64(activations_orig, activations_size)
+    if loss_type == "global_avg":
+        m1 = pc.bg_mask_orig[..., None]
+        mean1 = jnp.sum(f_orig * m1, axis=(0, 1)) / (jnp.sum(m1) + EPS)
+        return (mean1,)
+    if loss_type == "local_avg":
+        m = pc.bg_mask_both[..., None]
+        m_den = _avg_pool_same(m, patch_size)
+        f1 = _avg_pool_same(m * f_orig, patch_size) / (m_den + EPS)
+        return (f1, m_den)
+    raise ValueError(f"Unknown background loss type: {loss_type}")
+
+
+def background_loss_apply(pre, activations, pc: ProcessedCorrespondences,
+                          patch_size: int, activations_size,
+                          loss_type: str = "global_avg"):
+    """Current-side half of background_loss."""
     f_cur = _to_hwc_64(activations, activations_size)
-
-    h, w = activations_size
-    valid = pc.corr_w > 0
-    w1 = jnp.zeros((h, w), jnp.float32).at[pc.corr_oy, pc.corr_ox].max(
-        valid.astype(jnp.float32))
-    w2 = jnp.zeros((h, w), jnp.float32).at[pc.corr_ty, pc.corr_tx].max(
-        valid.astype(jnp.float32))
-
-    f1 = _avg_pool_same(w1[..., None] * f_orig, patch_size) / (
-        _avg_pool_same(w1[..., None], patch_size) + EPS)
-    f2 = _avg_pool_same(w2[..., None] * f_cur, patch_size) / (
-        _avg_pool_same(w2[..., None], patch_size) + EPS)
-
-    d = jnp.abs(f1[pc.corr_oy, pc.corr_ox] - f2[pc.corr_ty, pc.corr_tx])
-    weights = pc.corr_w
-    total = jnp.sum(weights)
-    # mean over correspondence entries, then channels (losses.py:80-82).
-    per_channel = jnp.sum(d * weights[:, None], axis=0) / (total + EPS)
-    return jnp.mean(per_channel)
+    if loss_type == "global_avg":
+        (mean1,) = pre
+        m2 = pc.bg_mask_trans[..., None]
+        mean2 = jnp.sum(f_cur * m2, axis=(0, 1)) / (jnp.sum(m2) + EPS)
+        return jnp.mean(jnp.abs(mean1 - mean2))
+    if loss_type == "local_avg":
+        f1, m_den = pre
+        m = pc.bg_mask_both[..., None]
+        f2 = _avg_pool_same(m * f_cur, patch_size) / (m_den + EPS)
+        d = jnp.abs(f1 - f2) * m
+        n = jnp.sum(m)
+        per_channel = jnp.sum(d, axis=(0, 1)) / (n + EPS)
+        return jnp.mean(per_channel)
+    raise ValueError(f"Unknown background loss type: {loss_type}")
 
 
 def background_loss(activations, activations_orig,
                     pc: ProcessedCorrespondences, patch_size: int,
                     activations_size, loss_type: str = "global_avg"):
     """Background preservation loss (reference: losses.py:19-49)."""
-    f_orig = _to_hwc_64(activations_orig, activations_size)
-    f_cur = _to_hwc_64(activations, activations_size)
-
-    if loss_type == "global_avg":
-        m1 = pc.bg_mask_orig[..., None]
-        m2 = pc.bg_mask_trans[..., None]
-        mean1 = jnp.sum(f_orig * m1, axis=(0, 1)) / (jnp.sum(m1) + EPS)
-        mean2 = jnp.sum(f_cur * m2, axis=(0, 1)) / (jnp.sum(m2) + EPS)
-        return jnp.mean(jnp.abs(mean1 - mean2))
-    if loss_type == "local_avg":
-        m = pc.bg_mask_both[..., None]
-        f1 = _avg_pool_same(m * f_orig, patch_size) / (
-            _avg_pool_same(m, patch_size) + EPS)
-        f2 = _avg_pool_same(m * f_cur, patch_size) / (
-            _avg_pool_same(m, patch_size) + EPS)
-        d = jnp.abs(f1 - f2) * m
-        n = jnp.sum(m)
-        per_channel = jnp.sum(d, axis=(0, 1)) / (n + EPS)
-        return jnp.mean(per_channel)
-    raise ValueError(f"Unknown background loss type: {loss_type}")
+    pre = background_orig_precompute(activations_orig, pc, patch_size,
+                                     activations_size, loss_type)
+    return background_loss_apply(pre, activations, pc, patch_size,
+                                 activations_size, loss_type)
 
 
 def build_guidance_weight_schedule(

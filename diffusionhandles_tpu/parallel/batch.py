@@ -18,9 +18,11 @@ import numpy as np
 
 from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
 from diffusionhandles_tpu.guidance import (ProcessedCorrespondences,
-                                           background_loss,
+                                           background_loss_apply,
+                                           background_orig_precompute,
                                            build_guidance_weight_schedule,
-                                           foreground_loss,
+                                           foreground_loss_apply,
+                                           foreground_orig_precompute,
                                            process_correspondences)
 from diffusionhandles_tpu.scheduler import ddim_step
 
@@ -59,7 +61,7 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
         return lat
 
     def batch_energy(latents, unet_params, depth64, cond_emb, step_idx,
-                     acts_t, fgw_it, bgw_it, pcs):
+                     fg_pre, bg_pre, fgw_it, bgw_it, pcs):
         """Sum of per-sample guidance energies over ONE batched U-Net call.
 
         Per-sample losses are independent, so grad of the sum w.r.t. the
@@ -72,20 +74,32 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
         _, acts, _ = unet.apply(unet_params, model_in(latents, depth64),
                                 timesteps[step_idx], ctx)
 
-        def sample_loss(acts_b, pc_b):
+        def sample_loss(acts_b, pc_b, fg_pre_b, bg_pre_b):
             loss = 0.0
             for k in range(3):
-                loss = loss + fgw_it[k] * foreground_loss(
-                    acts_b[k], acts_t[k], pc_b, fg_patch, act_size)
-                loss = loss + bgw_it[k] * background_loss(
-                    acts_b[k], acts_t[k], pc_b, bg_patch, act_size,
+                loss = loss + fgw_it[k] * foreground_loss_apply(
+                    fg_pre_b[k], acts_b[k], pc_b, fg_patch, act_size)
+                loss = loss + bgw_it[k] * background_loss_apply(
+                    bg_pre_b[k], acts_b[k], pc_b, bg_patch, act_size,
                     bg_loss_type)
             return loss
 
-        losses = jax.vmap(sample_loss)(tuple(acts), pcs)
+        losses = jax.vmap(sample_loss)(tuple(acts), pcs, fg_pre, bg_pre)
         return jnp.sum(losses)
 
     grad_energy = jax.grad(batch_energy)
+
+    def orig_precompute(acts_t, pcs):
+        """Latent-independent loss halves per sample (see guidance.py):
+        hoisted out of the opt iterations and jax.grad's tape."""
+        def per_sample(pc_b):
+            fg = tuple(foreground_orig_precompute(
+                acts_t[k], pc_b, fg_patch, act_size) for k in range(3))
+            bg = tuple(background_orig_precompute(
+                acts_t[k], pc_b, bg_patch, act_size, bg_loss_type)
+                for k in range(3))
+            return fg, bg
+        return jax.vmap(per_sample)(pcs)
 
     def cfg_batch(unet_params, latents, depth64, uncond_t, cond_emb,
                   step_idx):
@@ -111,10 +125,12 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
 
         def guided_step(latents, xs):
             step_idx, uncond_t, acts_t, fgw_t, bgw_t = xs
+            fg_pre, bg_pre = orig_precompute(acts_t, pcs)
 
             def one_iter(it, lat):
                 g = grad_energy(lat, unet_params, depth64, cond_emb,
-                                step_idx, acts_t, fgw_t[it], bgw_t[it], pcs)
+                                step_idx, fg_pre, bg_pre, fgw_t[it],
+                                bgw_t[it], pcs)
                 return lat - glr * g
 
             latents = jax.lax.fori_loop(0, num_optsteps, one_iter, latents)
