@@ -153,3 +153,20 @@ def test_solve_laplacian_depth_matches_direct():
                                            maxiter=3000))
     assert np.abs(got - want).max() < 1e-2
     np.testing.assert_allclose(got[~mask], fg[~mask], rtol=1e-6)
+
+
+def test_harmonize_depth_matches_composition():
+    """harmonize_depth (set_foreground's single-jit path) must equal the
+    unfused dilate -> solve_laplacian_depth composition."""
+    from diffusionhandles_tpu.ops.morphology import binary_dilation_iter
+    from diffusionhandles_tpu.ops.poisson import harmonize_depth
+    rng = np.random.RandomState(5)
+    n = 48
+    fg = rng.rand(n, n).astype(np.float32)
+    bg = rng.rand(n, n).astype(np.float32)
+    mask = np.zeros((n, n), bool)
+    mask[14:30, 16:34] = True
+    dilated = binary_dilation_iter(mask, 4)
+    want = np.asarray(solve_laplacian_depth(fg, bg, dilated))
+    got = np.asarray(harmonize_depth(fg, bg, mask, dilate_iters=4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
