@@ -20,9 +20,10 @@ outputs from the winner buffer:
   'global_volume_texture' 3D texture sampled at world positions
                        (FlatGlobalVolumeTextureShader, reference :400-450)
   'face_id'            winning face index
-  'alpha'              coverage: binary (hard blend) or soft sigmoid
-                       blending over faces_per_pixel fragments
-                       (sigmoid_alpha_blend, reference :341-358)
+  'alpha'              coverage: binary (hard blend) or soft sigmoid /
+                       softmax blending over faces_per_pixel fragments
+                       (sigmoid_alpha_blend, reference :341-358; softmax
+                       per PyTorch3D softmax_rgb_blend)
 """
 
 from __future__ import annotations
@@ -37,9 +38,11 @@ from diffusionhandles_tpu.geometry.mesh import Mesh
 from diffusionhandles_tpu.geometry.mesh_transform import merge_meshes
 from diffusionhandles_tpu.ops.rasterize import (RasterOut,
                                                 interpolate_attribute,
+                                                interpolate_attribute_k,
                                                 project_verts, rasterize,
                                                 rasterize_k,
-                                                sigmoid_alpha_blend)
+                                                sigmoid_alpha_blend,
+                                                softmax_blend_weights)
 
 
 @dataclasses.dataclass
@@ -68,12 +71,15 @@ class Renderer:
 class RasterRendererArgs:
     """(reference: PyTorch3DRendererArgs, pytorch3d_renderer.py:31-53).
 
-    blend_type 'hard' (top-1 fragment) or 'sigmoid' (PyTorch3D
+    blend_type 'hard' (top-1 fragment), 'sigmoid' (PyTorch3D
     sigmoid_alpha_blend: channel values come from the closest fragment,
-    coverage becomes a soft alpha; exposed as the 'alpha' output layer).
-    blend_gamma is accepted for config parity but unused by sigmoid
-    blending (it parameterizes softmax blending, which the reference never
-    selects). blur_radius is in NDC^2 units like PyTorch3D."""
+    coverage becomes a soft alpha; exposed as the 'alpha' output layer), or
+    'softmax' (PyTorch3D softmax_rgb_blend: channel values are the
+    gamma-weighted softmax over all faces_per_pixel fragments plus a
+    background term — the one blend mode the reference's enum names but
+    never selects). blend_gamma parameterizes softmax depth weighting;
+    blend_znear/blend_zfar are the softmax z normalization bounds
+    (PyTorch3D defaults). blur_radius is in NDC^2 units like PyTorch3D."""
 
     output_res: Tuple[int, int] = (512, 512)
     cull_backfaces: bool = False
@@ -83,6 +89,8 @@ class RasterRendererArgs:
     blend_type: str = "hard"
     blend_sigma: float = 1e-4
     blend_gamma: float = 1e-4
+    blend_znear: float = 1.0
+    blend_zfar: float = 100.0
     background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
@@ -135,14 +143,14 @@ class RasterRenderer(Renderer):
             cam_verts = verts
         focal = float(np.asarray(cam.intrinsics)[0, 0])
         verts_px = project_verts(jnp.asarray(cam_verts), focal, h, w)
-        soft = (self.args.blend_type == "sigmoid"
+        if self.args.blend_type not in ("hard", "sigmoid", "softmax"):
+            raise ValueError(
+                f"Unsupported blend type: {self.args.blend_type}")
+        soft = (self.args.blend_type in ("sigmoid", "softmax")
                 or self.args.faces_per_pixel > 1
                 or self.args.blur_radius > 0)
         kraster = None
         if soft:
-            if self.args.blend_type not in ("hard", "sigmoid"):
-                raise ValueError(
-                    f"Unsupported blend type: {self.args.blend_type}")
             kraster = rasterize_k(
                 verts_px, jnp.asarray(mesh.faces), h, w,
                 faces_per_pixel=self.args.faces_per_pixel,
@@ -162,13 +170,38 @@ class RasterRenderer(Renderer):
         faces = np.asarray(mesh.faces)
         out: Dict[str, np.ndarray] = {}
         covered = np.asarray(raster.face_id) >= 0
+        softmax_w = None
+        if self.args.blend_type == "softmax":
+            softmax_w = softmax_blend_weights(
+                kraster, sigma=self.args.blend_sigma,
+                gamma=self.args.blend_gamma, znear=self.args.blend_znear,
+                zfar=self.args.blend_zfar)
+
+        def _blend_attr(vert_attr, background=None):
+            """Interpolate a per-vertex attribute: softmax-weighted over the
+            K fragments (plus background term) or from the winner."""
+            if softmax_w is not None:
+                w, w_bg, _ = softmax_w
+                attr_k = interpolate_attribute_k(kraster, faces, vert_attr)
+                img = jnp.sum(w[..., None] * attr_k, axis=0)
+                if background is not None:
+                    img = img + w_bg[..., None] * jnp.asarray(
+                        background, jnp.float32)
+                return np.asarray(img)
+            img = np.array(interpolate_attribute(raster, faces, vert_attr))
+            if background is not None:
+                img[~covered] = np.asarray(background, np.float32)
+            return img
+
         for name in self.output_names:
             if name == "alpha":
                 # hard blend: binary coverage (reference hard_rgb_blend's
-                # alpha); sigmoid: soft coverage over the K fragments
+                # alpha); sigmoid/softmax: soft coverage over K fragments
                 if self.args.blend_type == "sigmoid":
                     out[name] = np.asarray(sigmoid_alpha_blend(
                         kraster, self.args.blend_sigma))
+                elif softmax_w is not None:
+                    out[name] = np.asarray(softmax_w[2])
                 else:
                     out[name] = covered.astype(np.float32)
                 continue
@@ -179,55 +212,76 @@ class RasterRenderer(Renderer):
             elif name == "face_id":
                 out[name] = np.asarray(raster.face_id)
             elif name == "world_position":
-                out[name] = np.asarray(interpolate_attribute(
-                    raster, faces, verts))
+                out[name] = _blend_attr(verts)
             elif name == "camera_position":
-                out[name] = np.asarray(interpolate_attribute(
-                    raster, faces, cam_verts))
+                out[name] = _blend_attr(cam_verts)
             elif name == "world_normal":
                 fn = _face_normals(verts, faces)
-                fid = np.maximum(np.asarray(raster.face_id), 0)
-                img = fn[fid]
-                img[~covered] = 0
-                out[name] = img
+                if softmax_w is not None:
+                    w, _, _ = softmax_w
+                    fid_k = np.maximum(np.asarray(kraster.face_id), 0)
+                    fn_k = np.where(
+                        np.asarray(kraster.face_id)[..., None] >= 0,
+                        fn[fid_k], 0.0)
+                    out[name] = np.asarray(
+                        jnp.sum(w[..., None] * fn_k, axis=0))
+                else:
+                    fid = np.maximum(np.asarray(raster.face_id), 0)
+                    img = fn[fid]
+                    img[~covered] = 0
+                    out[name] = img
             elif name == "vertex_normal":
-                vn = _vertex_normals(verts, faces)
-                out[name] = np.asarray(interpolate_attribute(
-                    raster, faces, vn))
+                out[name] = _blend_attr(_vertex_normals(verts, faces))
             elif name == "flat_vertex_color":
                 color = mesh.vert_attributes.get("color")
                 if color is None:
                     raise ValueError("mesh has no 'color' attribute")
-                img = np.array(interpolate_attribute(
-                    raster, faces, np.asarray(color, np.float32)))
+                color = np.asarray(color, np.float32)
                 bg = np.asarray(self.args.background_color, np.float32)
-                if img.shape[-1] == bg.shape[0]:
-                    img[~covered] = bg
-                out[name] = img
+                has_bg = color.shape[-1] == bg.shape[0]
+                out[name] = _blend_attr(color, bg if has_bg else None)
             elif name == "uv_texture":
                 uv = mesh.vert_attributes.get("uv")
                 if uv is None or self._uv_texture is None:
                     raise ValueError(
                         "'uv_texture' needs a mesh 'uv' attribute and a "
                         "scene uv_textures entry")
-                uv_img = np.asarray(interpolate_attribute(
-                    raster, faces, np.asarray(uv, np.float32)))
-                out[name] = _sample_texture2d(self._uv_texture, uv_img)
-                out[name][~covered] = 0
+                out[name] = self._sample_layer(
+                    np.asarray(uv, np.float32), raster, kraster, softmax_w,
+                    faces, covered,
+                    lambda q: _sample_texture2d(self._uv_texture, q))
             elif name == "global_volume_texture":
                 if self._volume_texture is None:
                     raise ValueError(
                         "'global_volume_texture' needs a scene "
                         "global_volume_texture entry")
-                pos = np.asarray(interpolate_attribute(
-                    raster, faces, verts))
-                out[name] = _sample_volume(
-                    np.asarray(self._volume_texture, np.float32), pos,
-                    self._volume_bounds)
-                out[name][~covered] = 0
+                vol = np.asarray(self._volume_texture, np.float32)
+                out[name] = self._sample_layer(
+                    verts, raster, kraster, softmax_w, faces, covered,
+                    lambda q: _sample_volume(vol, q, self._volume_bounds))
             else:
                 raise ValueError(f"unknown output layer '{name}'")
         return out
+
+    @staticmethod
+    def _sample_layer(vert_attr, raster, kraster, softmax_w, faces, covered,
+                      sample_fn):
+        """Texture-style output: interpolate a per-vertex lookup coordinate,
+        sample with sample_fn, and (softmax) blend over fragment levels."""
+        if softmax_w is not None:
+            w, _, _ = softmax_w
+            coords_k = np.asarray(
+                interpolate_attribute_k(kraster, faces, vert_attr))
+            sampled = np.stack([sample_fn(coords_k[k])
+                                for k in range(coords_k.shape[0])])
+            sampled = np.where(
+                np.asarray(kraster.face_id)[..., None] >= 0, sampled, 0.0)
+            return np.asarray(jnp.sum(np.asarray(w)[..., None] * sampled,
+                                      axis=0))
+        coords = np.asarray(interpolate_attribute(raster, faces, vert_attr))
+        img = sample_fn(coords)
+        img[~covered] = 0
+        return img
 
 
 def _sample_texture2d(tex: np.ndarray, uv: np.ndarray) -> np.ndarray:
