@@ -110,6 +110,13 @@ class Webapp:
         for name, fn in self._routes.items():
             app.router.add_post(f"{self.netpath}/{name}", make_handler(fn))
 
+        # GET /health for load balancers / k8s readiness probes (the POST
+        # route stays the client protocol)
+        async def health_get(request):
+            return web.json_response({"ok": True, "data": {
+                "status": "ok", "service": type(self).__name__}})
+        app.router.add_get(f"{self.netpath}/health", health_get)
+
         if getattr(self, "index_html", None):
             async def index(request):
                 return web.Response(text=self.index_html,

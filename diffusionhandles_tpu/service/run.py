@@ -47,8 +47,21 @@ def main():
         app = services.DiffhandlesWebapp(port=port, variant=args.variant,
                                          netpath=args.netpath)
     elif args.service == "pipeline":
+        # upstream service discovery: env overrides for containerized
+        # deployments (deploy/k8s/diffhandles.yaml sets these to the
+        # cluster-internal Service DNS names)
+        import os
+        urls = {}
+        for key, env in (("diffhandles_url", "DIFFHANDLES_CORE_URL"),
+                         ("depth_url", "DIFFHANDLES_DEPTH_URL"),
+                         ("remover_url", "DIFFHANDLES_REMOVER_URL"),
+                         ("selector_url", "DIFFHANDLES_SELECTOR_URL"),
+                         ("text2img_url", "DIFFHANDLES_TEXT2IMG_URL")):
+            if os.environ.get(env):
+                urls[key] = os.environ[env]
         app = pipeline_app.DiffhandlesPipelineWebapp(port=port,
-                                                     netpath=args.netpath)
+                                                     netpath=args.netpath,
+                                                     **urls)
     elif args.service == "depth":
         estimator = None
         if args.zoedepth_checkpoint:
