@@ -56,7 +56,7 @@ def dot_product_attention(q, k, v, *, return_probs: bool = False,
       out [B, Sq, H, D] (and probs if requested).
     """
     if use_flash and not return_probs:
-        if _flash_ok(q.shape[1], k.shape[1]):
+        if _flash_ok(q.shape[1], k.shape[1], head_dim=q.shape[-1]):
             return flash_attention_diff(q, k, v)
         # short sequences (e.g. 77-token cross-attn): dense is faster
     scale = 1.0 / math.sqrt(q.shape[-1])
@@ -132,12 +132,38 @@ def _flash_onepass_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), lse_ref[0].shape)
 
 
+# VMEM feasibility bounds for the forward kernels (the backward kernels
+# tile [1024, 1024] logit blocks and are insensitive to sk). The one-pass
+# kernel keeps ~10 live bytes per [block_q, sk] logit element (fp32 s,
+# its exp, and the bf16 copy fed to the MXU); the measured shipping config
+# (block_q=2048, sk=4096 -> 80 MB) is the proven-feasible ceiling under
+# the 100 MB vmem_limit. Both fwd kernels also hold K and V whole in VMEM.
+_S_STATE_BYTES = 10
+_S_BLOCK_BUDGET = 80 * 1024 * 1024
+_KV_RESIDENT_BUDGET = 16 * 1024 * 1024   # per K / V array, bf16
+
+
+def _fwd_blocks(sq: int, sk: int, block_q: int = 2048,
+                block_k: int = 1 << 20):
+    """Choose VMEM-feasible forward blocks. Shared by _flash_fwd_impl and
+    the eligibility gate so routing and execution can never disagree:
+    shrink block_q while the one-pass [block_q, sk] logit state exceeds
+    budget; if even block_q=256 doesn't fit, stream KV in 2048 chunks."""
+    bq = min(block_q, sq)
+    bk = min(block_k, sk)
+    if bk == sk:
+        while bq > 256 and bq * sk * _S_STATE_BYTES > _S_BLOCK_BUDGET:
+            bq //= 2
+        if bq * sk * _S_STATE_BYTES > _S_BLOCK_BUDGET:
+            bk = min(2048, sk)
+    return bq, bk
+
+
 def _flash_fwd_impl(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
     """Returns (out [B,S,H,D], lse [B*H, S])."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q, block_k = _fwd_blocks(sq, sk, block_q, block_k)
     scale = 1.0 / math.sqrt(d)
     qt = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, sq, d)
     qt = (qt.astype(jnp.float32) * scale).astype(q.dtype)
@@ -175,33 +201,34 @@ def _flash_fwd_impl(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
 
 
 def _flash_supported(sq: int, sk: int, block_q: int = 2048,
-                     block_k: int = 1 << 20) -> bool:
-    """Kernel CORRECTNESS constraint. Defaults MUST match the impl defaults
-    (_flash_fwd_impl / _flash_bwd_fused_impl / _flash_bwd_impl): the grid
-    floor-division silently drops trailing rows/KV blocks for non-divisible
-    lengths, so this checks divisibility against the effective
-    (min-clamped) block sizes of EVERY kernel the VJP may run — including
-    the fused backward's block_q=1024 and the two-pass backward's
-    block_k=1024."""
-    bq = min(block_q, sq)
-    bk = min(block_k, sk)
+                     block_k: int = 1 << 20, head_dim: int = 64) -> bool:
+    """Kernel CORRECTNESS constraint. Checks the SAME effective block sizes
+    the impls will run (via _fwd_blocks — the grid floor-division silently
+    drops trailing rows/KV blocks for non-divisible lengths) for EVERY
+    kernel the VJP may run — including the fused backward's block_q=1024
+    and the two-pass backward's block_k=1024 — plus VMEM residency of the
+    whole K/V arrays, which every kernel here assumes."""
+    bq, bk = _fwd_blocks(sq, sk, block_q, block_k)
     bq_bwd = min(1024, sq)       # _flash_bwd_fused_impl block_q default
     bk_bwd = min(1024, sk)       # _flash_bwd_impl block_k default
-    return (sk % bk == 0 and sq % bq == 0
+    kv_resident = sk * head_dim * 2 <= _KV_RESIDENT_BUDGET
+    return (kv_resident and sk % bk == 0 and sq % bq == 0
             and sq % bq_bwd == 0 and sk % bk_bwd == 0)
 
 
 def _flash_ok(sq: int, sk: int, block_q: int = 2048,
-              block_k: int = 1 << 20) -> bool:
+              block_k: int = 1 << 20, head_dim: int = 64) -> bool:
     """Routing heuristic: long-enough (dense wins at short cross-attn
     lengths like 77) AND supported by the kernels."""
-    return sk >= 512 and _flash_supported(sq, sk, block_q, block_k)
+    return sk >= 512 and _flash_supported(sq, sk, block_q, block_k,
+                                          head_dim)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_attention(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
     """Flash attention for [B, S, H, D] inputs (non-causal, unmasked)."""
-    if not _flash_ok(q.shape[1], k.shape[1], block_q, block_k):
+    if not _flash_ok(q.shape[1], k.shape[1], block_q, block_k,
+                     head_dim=q.shape[-1]):
         return dot_product_attention(q, k, v)
     return _flash_fwd_impl(q, k, v, block_q, block_k)[0]
 

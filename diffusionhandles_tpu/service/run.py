@@ -59,9 +59,10 @@ def main():
                          ("text2img_url", "DIFFHANDLES_TEXT2IMG_URL")):
             if os.environ.get(env):
                 urls[key] = os.environ[env]
-        app = pipeline_app.DiffhandlesPipelineWebapp(port=port,
-                                                     netpath=args.netpath,
-                                                     **urls)
+        pipeline = pipeline_app.DiffhandlesPipeline(**urls) if urls else None
+        app = pipeline_app.DiffhandlesPipelineWebapp(pipeline=pipeline,
+                                                     port=port,
+                                                     netpath=args.netpath)
     elif args.service == "depth":
         estimator = None
         if args.zoedepth_checkpoint:

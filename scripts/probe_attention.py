@@ -4,12 +4,12 @@
 Times the Pallas flash forward / fused backward in-scan (the only honest
 measurement through the axon tunnel — see PERFORMANCE.md) on the exact
 U-Net shapes that route to flash (seq 4096 h=5 and seq 1024 h=10, d=64),
-across block-size variants plus a one-pass forward kernel that skips the
-online-softmax bookkeeping when the whole KV range fits one block.
+across block-size variants; bk=whole rows route to the production
+one-pass kernel (ops/attention.py _flash_onepass_kernel), so the probe
+always measures the shipped kernels, never a copy.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_attention.py
 """
-import functools
 import os
 import pathlib
 import time
@@ -22,66 +22,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-from diffusionhandles_tpu.ops.attention import (_LANES, _dot_nt,
-                                                _flash_bwd_fused_impl,
+from diffusionhandles_tpu.ops.attention import (_flash_bwd_fused_impl,
                                                 _flash_bwd_impl,
                                                 _flash_fwd_impl)
 
 STEPS = 32
-
-
-def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
-    """Plain softmax attention for one query block against the WHOLE KV
-    range: no running max/denominator, one exp sweep, no alpha rescale."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = _dot_nt(q, k)                       # [block_q, sk] fp32
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), lse_ref[0].shape)
-
-
-def onepass_fwd(q, k, v, block_q=512):
-    import math
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
-    block_q = min(block_q, sq)
-    scale = 1.0 / math.sqrt(d)
-    tr = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
-    qt = (tr(q).astype(jnp.float32) * scale).astype(q.dtype)
-    kt, vt = tr(k), tr(v)
-    out, lse = pl.pallas_call(
-        _onepass_kernel,
-        grid=(b * h, sq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, _LANES), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq, _LANES), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(qt, kt, vt)
-    return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3)), lse
 
 
 def time_scan(fn, *args, n=8):
@@ -125,12 +70,8 @@ def main():
              lambda q, k, v: _flash_fwd_impl(q, k, v, 1024, 1 << 20)[0]),
             ("fwd bq2048/bk2048",
              lambda q, k, v: _flash_fwd_impl(q, k, v, 2048, 2048)[0]),
-            ("fwd onepass bq512",
-             lambda q, k, v: onepass_fwd(q, k, v, 512)[0]),
-            ("fwd onepass bq1024",
-             lambda q, k, v: onepass_fwd(q, k, v, 1024)[0]),
-            ("fwd onepass bq2048",
-             lambda q, k, v: onepass_fwd(q, k, v, 2048)[0]),
+            ("fwd bq2048/bk=whole (default)",
+             lambda q, k, v: _flash_fwd_impl(q, k, v)[0]),
         ]:
             try:
                 per, comp = time_scan(fwd, q, k, v)

@@ -79,3 +79,34 @@ def test_flash_diff_raises_on_unsupported_shape():
     q, k, v = _rand_qkv(s=1280, h=1)
     with pytest.raises(ValueError, match="not block-aligned"):
         jax.grad(lambda q: jnp.sum(flash_attention_diff(q, k, v)))(q)
+
+
+def test_fwd_blocks_vmem_feasibility():
+    """Regression: the one-pass forward materializes a [block_q, sk] logit
+    state; long sequences must shrink block_q (or stream KV) instead of
+    blowing the VMEM limit at compile time, and the gate must agree with
+    the impl's choice."""
+    from diffusionhandles_tpu.ops.attention import (_KV_RESIDENT_BUDGET,
+                                                    _S_BLOCK_BUDGET,
+                                                    _S_STATE_BYTES,
+                                                    _flash_ok, _fwd_blocks)
+
+    # shipped U-Net config unchanged: one-pass with the measured blocks
+    assert _fwd_blocks(4096, 4096) == (2048, 4096)
+    assert _fwd_blocks(1024, 1024) == (1024, 1024)
+    # 16k tokens: still one-pass but with a shrunken query block
+    bq, bk = _fwd_blocks(16384, 16384)
+    assert bk == 16384 and bq * 16384 * _S_STATE_BYTES <= _S_BLOCK_BUDGET
+    assert _flash_ok(16384, 16384)
+    # 64k tokens: one-pass infeasible even at bq=256 -> stream KV
+    bq, bk = _fwd_blocks(65536, 65536)
+    assert bk == 2048
+    assert _flash_ok(65536, 65536)
+    # enormous KV no longer fits VMEM whole -> dense fallback
+    sk_too_big = 2 * _KV_RESIDENT_BUDGET // (2 * 64)
+    assert not _flash_ok(sk_too_big, sk_too_big, head_dim=64)
+    # every choice keeps divisibility (grid floor-division safety)
+    for sq, sk in [(4096, 4096), (16384, 16384), (65536, 65536),
+                   (2048, 4096), (8192, 8192)]:
+        bq, bk = _fwd_blocks(sq, sk)
+        assert sq % bq == 0 and sk % bk == 0
