@@ -136,7 +136,11 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
         #   24.4 -> 21.1 ms/step fwd+bwd vs XLA convs.
         # - no-grad path (`unet_fast` below): Pallas flattened-shift
         #   kernels (best fwd-only; their custom-VJP bwd loses to taps).
-        grad_conv = "taps" if jax.default_backend() == "tpu" else False
+        # conf.pallas_conv=False disables BOTH custom paths, restoring the
+        # plain XLA-conv graphs for A/B parity debugging (config.py).
+        grad_conv = ("taps" if (getattr(conf, "pallas_conv", True)
+                                and jax.default_backend() == "tpu")
+                     else False)
         ucfg = UNetConfig(in_channels=in_ch, dtype=dtype,
                           param_dtype=param_dtype,
                           remat=conf.remat_guidance,
@@ -202,6 +206,13 @@ class GuidedStableDiffuser(GuidedDiffuser):
         self.latent_res = self.models.unet_config.sample_size
         self.image_res = (self.latent_res
                           * self.models.vae_config.downscale_factor)
+        # AOT-key token for the conv strategies baked into the compiled
+        # graphs (grad model / unet_fast / VAE): a persistent executable
+        # store must never serve a program compiled under another mode
+        self.conv_mode_tag = (
+            f"{self.models.unet_config.pallas_conv}:"
+            f"{self.unet_fast.config.pallas_conv}:"
+            f"{getattr(self.models.vae_config, 'conv_impl', 'xla')}")
         self._jit_cache = {}
 
     # ------------------------------------------------------------------
@@ -262,7 +273,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
         if "vae_encode" not in self._jit_cache:
             scaling = self.models.vae_config.scaling_factor
             self._jit_cache["vae_encode"] = AotStore.default().wrap(
-                f"vae_encode:{scaling}:{self.conf.dtype}",
+                f"vae_encode:{scaling}:{self.conf.dtype}:"
+                f"{self.conv_mode_tag}",
                 lambda p, img: self.models.vae.apply(
                     p, img * 2.0 - 1.0,
                     method=AutoencoderKL.encode) * scaling)
@@ -275,7 +287,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
         if "vae_decode" not in self._jit_cache:
             scaling = self.models.vae_config.scaling_factor
             self._jit_cache["vae_decode"] = AotStore.default().wrap(
-                f"vae_decode:{scaling}:{self.conf.dtype}",
+                f"vae_decode:{scaling}:{self.conf.dtype}:"
+                f"{self.conv_mode_tag}",
                 lambda p, z: jnp.clip(
                     self.models.vae.apply(
                         p, z / scaling,
@@ -342,7 +355,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
 
         return AotStore.default().wrap(
             f"initial:{gs}:{self.conf.dtype}:"
-            f"{self.conf.activation_store_dtype}", run)
+            f"{self.conf.activation_store_dtype}:{self.conv_mode_tag}", run)
 
     def initial_inference(self, init_latents, depth, uncond_embeddings,
                           prompt: str):
@@ -472,7 +485,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
 
         return AotStore.default().wrap(
             f"guided:{gs}:{glr}:{bg_loss_type}:{fg_patch}:{bg_patch}:"
-            f"{emit_steps}:{self.conf.dtype}", run)
+            f"{emit_steps}:{self.conf.dtype}:{self.conv_mode_tag}", run)
 
     def guided_inference(self, latents, depth, uncond_embeddings,
                          prompt: str, activations_orig: Sequence,

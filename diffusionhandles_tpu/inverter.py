@@ -72,7 +72,7 @@ class StableNullInverter(NullInverter):
             return jnp.concatenate([latent0[None], traj], axis=0)
 
         return AotStore.default().wrap(
-            f"ddim_loop:{S}:{model.conf.dtype}", run)
+            f"ddim_loop:{S}:{model.conf.dtype}:{model.conv_mode_tag}", run)
 
     def _build_null_optimization(self, num_inner_steps: int,
                                  inner_loop: str = "while",
@@ -207,8 +207,9 @@ class StableNullInverter(NullInverter):
 
         return AotStore.default().wrap(
             f"null_opt:{S}:{num_inner_steps}:{gs}:{model.conf.dtype}:"
-            f"{inner_loop}" + (f":rec:{model.conf.activation_store_dtype}"
-                               if record else ""), run)
+            f"{inner_loop}:{model.conv_mode_tag}"
+            + (f":rec:{model.conf.activation_store_dtype}"
+               if record else ""), run)
 
     # ------------------------------------------------------------------
 

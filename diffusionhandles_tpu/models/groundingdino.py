@@ -548,7 +548,8 @@ class GroundingDinoModel(nn.Module):
         st = txt.shape[1]
 
         # ---- feature enhancer
-        pos = _image_pos_embed(spatial_shapes, cfg.d_model)
+        pos = _image_pos_embed(spatial_shapes, cfg.d_model,
+                               temperature=cfg.pe_temperature)
         lvl_pos = jnp.concatenate(
             [jnp.broadcast_to(self.level_embed[i],
                               (h * w, cfg.d_model))

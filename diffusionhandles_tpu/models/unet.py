@@ -643,7 +643,7 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(dtype)
         sample = sample.astype(dtype)
 
-        if cfg.pallas_conv in ("flat", "taps"):
+        if cfg.pallas_conv in ("flat", "taps", "fused"):
             x = Conv3x3(cfg.block_out_channels[0], dtype=dtype,
                         param_dtype=cfg.param_dtype,
                         impl=_conv3_impl(cfg.pallas_conv),
@@ -721,7 +721,7 @@ class UNet2DCondition(nn.Module):
                          dtype=jnp.float32, param_dtype=cfg.param_dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(dtype)
-        if cfg.pallas_conv in ("flat", "taps"):
+        if cfg.pallas_conv in ("flat", "taps", "fused"):
             eps = Conv3x3(cfg.out_channels, dtype=jnp.float32,
                           param_dtype=cfg.param_dtype,
                           impl=_conv3_impl(cfg.pallas_conv),

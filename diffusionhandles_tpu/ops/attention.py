@@ -200,19 +200,27 @@ def _flash_fwd_impl(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
     return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3)), lse
 
 
+def _flash_fwd_supported(sq: int, sk: int, block_q: int = 2048,
+                         block_k: int = 1 << 20,
+                         head_dim: int = 64) -> bool:
+    """Forward-kernel CORRECTNESS constraint: divisibility against the SAME
+    effective block sizes _flash_fwd_impl will run (grid floor-division
+    silently drops trailing rows/KV blocks otherwise) plus VMEM residency
+    of the whole K/V arrays, which the kernels assume."""
+    bq, bk = _fwd_blocks(sq, sk, block_q, block_k)
+    kv_resident = sk * head_dim * 2 <= _KV_RESIDENT_BUDGET
+    return kv_resident and sk % bk == 0 and sq % bq == 0
+
+
 def _flash_supported(sq: int, sk: int, block_q: int = 2048,
                      block_k: int = 1 << 20, head_dim: int = 64) -> bool:
-    """Kernel CORRECTNESS constraint. Checks the SAME effective block sizes
-    the impls will run (via _fwd_blocks — the grid floor-division silently
-    drops trailing rows/KV blocks for non-divisible lengths) for EVERY
-    kernel the VJP may run — including the fused backward's block_q=1024
-    and the two-pass backward's block_k=1024 — plus VMEM residency of the
-    whole K/V arrays, which every kernel here assumes."""
-    bq, bk = _fwd_blocks(sq, sk, block_q, block_k)
+    """Correctness constraint for the differentiable path: the forward
+    constraint plus divisibility for EVERY kernel the VJP may run — the
+    fused backward's block_q=1024 and the two-pass backward's
+    block_k=1024."""
     bq_bwd = min(1024, sq)       # _flash_bwd_fused_impl block_q default
     bk_bwd = min(1024, sk)       # _flash_bwd_impl block_k default
-    kv_resident = sk * head_dim * 2 <= _KV_RESIDENT_BUDGET
-    return (kv_resident and sk % bk == 0 and sq % bq == 0
+    return (_flash_fwd_supported(sq, sk, block_q, block_k, head_dim)
             and sq % bq_bwd == 0 and sk % bk_bwd == 0)
 
 
@@ -226,9 +234,16 @@ def _flash_ok(sq: int, sk: int, block_q: int = 2048,
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_attention(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
-    """Flash attention for [B, S, H, D] inputs (non-causal, unmasked)."""
-    if not _flash_ok(q.shape[1], k.shape[1], block_q, block_k,
-                     head_dim=q.shape[-1]):
+    """Flash attention for [B, S, H, D] inputs (non-causal, unmasked).
+
+    Forward-only entry (no custom VJP), so only the forward kernels'
+    constraints gate it — shapes the backward kernels can't tile (e.g.
+    1536 or 2560 tokens) still run flash here while
+    dot_product_attention(use_flash=True) conservatively demotes them
+    (its result may be differentiated through flash_attention_diff)."""
+    if not (k.shape[1] >= 512
+            and _flash_fwd_supported(q.shape[1], k.shape[1], block_q,
+                                     block_k, head_dim=q.shape[-1])):
         return dot_product_attention(q, k, v)
     return _flash_fwd_impl(q, k, v, block_q, block_k)[0]
 
@@ -369,7 +384,12 @@ def _flash_bwd_fused_impl(q, k, v, o, lse, do, block_q: int = 1024,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            # dq accumulates across the sk//block_k sequential grid steps
+            # INSIDE this buffer — it must be fp32 or each partial sum is
+            # rounded to bf16 (the two-pass kernel accumulates in an fp32
+            # register carry; this keeps the fused path's dq at the same
+            # precision)
+            jax.ShapeDtypeStruct((b * h, sq, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, sk, d), v.dtype),
         ),
@@ -377,7 +397,7 @@ def _flash_bwd_fused_impl(q, k, v, o, lse, do, block_q: int = 1024,
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),
     )(qt, kt, vt, dot, lse, delta)
-    dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
+    dq = (dq * scale).astype(q.dtype)
 
     untr = lambda x: jnp.transpose(
         x.reshape(b, h, x.shape[1], d), (0, 2, 1, 3))

@@ -111,7 +111,13 @@ class DiffusionHandles:
         activations list of 3 [T,C,H,W], latent_image [1,4,h,w]).
         """
         rec = getattr(self, "_recording", None)
-        if (rec is not None and null_text_emb is not None
+        # the capture is only served while fused recording is (still)
+        # enabled — turning the flag off forces the standalone recording
+        # scan, its documented strict-parity-debugging purpose (config.py)
+        if (rec is not None
+                and getattr(self.conf.guided_diffuser, "fused_recording",
+                            True)
+                and null_text_emb is not None
                 and init_noise is not None and prompt == rec["prompt"]
                 and np.array_equal(np.asarray(depth, np.float32),
                                    rec["depth"])):

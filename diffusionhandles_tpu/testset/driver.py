@@ -233,6 +233,17 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
         json.dump(dataset_names, f, indent=4)
 
     if metrics_acc:
+        # --skip_existing resumes: merge with a previous run's per-sample
+        # entries so the means always describe the full output set (a
+        # resumed run otherwise reports the "mean" of only the new samples
+        # and silently drops the rest)
+        prior_path = output_dir / "metrics.json"
+        if skip_existing and prior_path.exists():
+            with open(prior_path) as f:
+                prior = json.load(f).get("samples", {})
+            for name, entry in prior.items():
+                metrics_acc.setdefault(name, entry)
+            metrics_acc = OrderedDict(sorted(metrics_acc.items()))
         vals_p = [m["recon_psnr_db"] for m in metrics_acc.values()]
         vals_s = [m["recon_ssim"] for m in metrics_acc.values()]
         artifact = OrderedDict(

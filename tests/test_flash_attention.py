@@ -45,6 +45,33 @@ def test_flash_vjp_matches_dense():
                                    atol=2e-3, err_msg=f"d{name}")
 
 
+def test_fused_bwd_dq_fp32_accumulation():
+    """Regression: the fused backward's dq accumulates across KV grid steps
+    inside its output buffer — that buffer must be fp32. With bf16 inputs
+    and multiple KV blocks the fused dq must match the two-pass kernel's
+    fp32-register accumulation exactly (same bf16 products, same order);
+    a bf16 buffer rounds every partial sum and diverges."""
+    from diffusionhandles_tpu.ops.attention import (_flash_bwd_fused_impl,
+                                                    _flash_bwd_impl,
+                                                    _flash_fwd_impl)
+    q, k, v = _rand_qkv(s=1024, h=1, seed=3)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    do = jax.random.normal(jax.random.PRNGKey(9), q.shape,
+                           jnp.float32).astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        o, lse = _flash_fwd_impl(q, k, v, block_q=256, block_k=256)
+        dq_f, dk_f, dv_f = _flash_bwd_fused_impl(q, k, v, o, lse, do,
+                                                 block_q=256, block_k=256)
+        dq_2, dk_2, dv_2 = _flash_bwd_impl(q, k, v, o, lse, do,
+                                           block_q=256, block_k=256)
+    np.testing.assert_array_equal(np.asarray(dq_f, np.float32),
+                                  np.asarray(dq_2, np.float32))
+    np.testing.assert_allclose(np.asarray(dk_f, np.float32),
+                               np.asarray(dk_2, np.float32), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(dv_f, np.float32),
+                               np.asarray(dv_2, np.float32), atol=1e-2)
+
+
 def test_flash_fallback_on_odd_shapes():
     # 77-token cross attention: falls back to dense (no crash, same result)
     q, k, v = _rand_qkv(s=64)
