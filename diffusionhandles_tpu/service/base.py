@@ -101,7 +101,13 @@ class Webapp:
                     return web.json_response(encode_payload(
                         {"ok": True, "data": result}))
                 except Exception as exc:  # noqa: BLE001
+                    import sys
                     import traceback
+                    # mirror to the server log — the JSON body reaches the
+                    # client, but operators read the process output
+                    print(f"[{type(self).__name__}] handler error: {exc}",
+                          file=sys.stderr, flush=True)
+                    traceback.print_exc()
                     return web.json_response(
                         {"ok": False, "error": str(exc),
                          "traceback": traceback.format_exc()}, status=500)

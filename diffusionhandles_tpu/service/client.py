@@ -46,6 +46,19 @@ class ServiceClient:
                         f"{endpoint} failed: {out.get('error')}\n"
                         f"{out.get('traceback', '')}")
                 return decode_payload(out["data"])
+            except urllib.error.HTTPError as exc:
+                # an HTTP status error is an APPLICATION error: the server
+                # answered (with {"ok": False, "error", "traceback"} in the
+                # body for handler exceptions) — read the body and surface
+                # it instead of retrying the failed computation
+                try:
+                    detail = json.loads(exc.read())
+                    raise RuntimeError(
+                        f"{endpoint} failed: {detail.get('error')}\n"
+                        f"{detail.get('traceback', '')}") from None
+                except (ValueError, KeyError, AttributeError):
+                    raise RuntimeError(
+                        f"{endpoint} failed: HTTP {exc.code}") from None
             except (urllib.error.URLError, ConnectionError,
                     TimeoutError) as exc:  # transport errors: retry
                 last_exc = exc

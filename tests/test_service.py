@@ -70,6 +70,35 @@ def test_job_manager_propagates_exceptions():
 
 
 @pytest.mark.slow
+def test_client_surfaces_handler_errors_without_retry():
+    """A handler exception answers HTTP 500 with {error, traceback} in the
+    body; the client must raise it as an application error carrying the
+    server-side message — NOT retry it as a transport failure (retrying
+    re-runs the failed computation behind the model lock) and NOT reduce
+    it to a bare 'HTTP Error 500'."""
+    pytest.importorskip("aiohttp")
+    from diffusionhandles_tpu.service.base import Webapp
+    from diffusionhandles_tpu.service.client import ServiceClient
+
+    calls = []
+
+    class Failing(Webapp):
+        def __init__(self):
+            super().__init__(port=18897)
+            def boom(req):
+                calls.append(1)
+                raise ValueError("bad input shape (7,)")
+            self.route("boom", boom)
+
+    Failing().start_background()
+    client = ServiceClient("http://127.0.0.1:18897", retries=2,
+                           retry_backoff=0.01)
+    assert client.wait_healthy(timeout=30)
+    with pytest.raises(RuntimeError, match="bad input shape"):
+        client.call("boom", x=1)
+    assert len(calls) == 1  # application errors are not retried
+
+
 def test_live_service_roundtrip():
     """Spin up remover + depth services in-process (tiny models) and hit
     them over real HTTP."""
