@@ -248,6 +248,7 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
         vals_s = [m["recon_ssim"] for m in metrics_acc.values()]
         artifact = OrderedDict(
             samples=metrics_acc,
+            num_samples=len(metrics_acc),
             mean_recon_psnr_db=round(float(np.mean(vals_p)), 3),
             mean_recon_ssim=round(float(np.mean(vals_s)), 4),
             lpips_note=("LPIPS requires converted VGG16 perceptual "

@@ -94,3 +94,27 @@ def test_driver_end_to_end(handles, tmp_path):
         output_dir=str(out_dir), handles=handles, img_res=res,
         skip_existing=True)
     assert time.time() - t0 < 30
+
+    # metrics.json exists and covers the sample
+    with open(out_dir / "metrics.json") as f:
+        metrics = json.load(f)
+    assert set(metrics["samples"]) == {"cube"}
+    assert metrics["samples"]["cube"]["recon_psnr_db"] is not None
+
+    # resumed run (--skip_existing) with one NEW sample: skipped samples
+    # never reach the metrics pass, so the artifact must merge the prior
+    # run's entries — means over the FULL output set, not just new work
+    _make_sample(input_dir / "cube2", res)
+    with open(manifest, "w") as f:
+        json.dump({"cube": ["edit_000", "edit_001"],
+                   "cube2": ["edit_000"]}, f)
+    run_test_set(
+        test_set_path=str(manifest), input_dir=str(input_dir),
+        output_dir=str(out_dir), handles=handles, img_res=res,
+        skip_existing=True)
+    with open(out_dir / "metrics.json") as f:
+        merged = json.load(f)
+    assert set(merged["samples"]) == {"cube", "cube2"}
+    assert merged["num_samples"] == 2
+    assert (merged["samples"]["cube"]["recon_psnr_db"]
+            == metrics["samples"]["cube"]["recon_psnr_db"])
