@@ -94,13 +94,14 @@ def transform_depth(depth, bg_depth, fg_mask, intrinsics,
 
 
 def _empty_result(depth, use_input_depth_normalization):
-    """Empty-foreground fast path (reference: depth_transform.py:203-216)."""
-    if use_input_depth_normalization:
-        _, bounds = normalize_depth(1.0 / depth, return_bounds=True)
-    else:
-        bounds = None
-    corr = np.zeros((0, 4), np.int64)
-    return normalize_depth(1.0 / depth, bounds=bounds), corr
+    """Empty-foreground fast path (reference: depth_transform.py:203-216).
+
+    With no foreground the output disparity IS the input disparity, so
+    normalizing with bounds taken from the input (the
+    use_input_depth_normalization contract) equals normalizing with the
+    array's own bounds — one branch suffices for both flag values."""
+    del use_input_depth_normalization
+    return normalize_depth(1.0 / depth), np.zeros((0, 4), np.int64)
 
 
 def transform_depth_pc(depth, bg_depth, fg_mask, intrinsics,

@@ -111,9 +111,7 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
             [jnp.broadcast_to(uncond_t[None], (b,) + uncond_t.shape),
              jnp.broadcast_to(cond_emb[0][None], (b,) + cond_emb[0].shape)],
             axis=0)
-        eps, _, _ = unet_fast.apply(unet_params,
-                                    model_in(lat2, d2) if use_depth
-                                    else lat2,
+        eps, _, _ = unet_fast.apply(unet_params, model_in(lat2, d2),
                                     timesteps[step_idx], ctx)
         noise_pred = eps[:b] + gs * (eps[b:] - eps[:b])
         return ddim_step(schedule, noise_pred, step_idx, latents)
@@ -156,33 +154,42 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
         from flax.traverse_util import flatten_dict, unflatten_dict
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from diffusionhandles_tpu.parallel.sharding import param_spec
+        from diffusionhandles_tpu.parallel.sharding import (_divisible,
+                                                            param_spec)
 
         batch_sharding = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
         if mesh.shape.get("model", 1) > 1:
             # Tensor-parallel parameter shardings (Megatron-style specs from
-            # parallel/sharding.py), replicating non-divisible leaves.
+            # parallel/sharding.py), replicating non-divisible leaves — the
+            # same spec + divisibility-fallback rule as shard_params, minus
+            # its eager device_put (jit places via in_shardings here).
             flat = flatten_dict(diffuser.models.unet_params)
-            pshard = {}
-            for key, value in flat.items():
-                spec = param_spec(key, value)
-                ok = all(a is None or value.shape[d] % mesh.shape[a] == 0
-                         for d, a in enumerate(spec))
-                pshard[key] = NamedSharding(mesh, spec if ok else P())
+            pshard = {
+                key: NamedSharding(
+                    mesh, spec if _divisible(value.shape, spec, mesh)
+                    else P())
+                for key, value in flat.items()
+                for spec in (param_spec(key, value),)}
             params_sharding = unflatten_dict(pshard)
         else:
             params_sharding = jax.tree.map(
                 lambda _: rep, diffuser.models.unet_params)
+        pcs_sharding = ProcessedCorrespondences(
+            *[batch_sharding] * len(ProcessedCorrespondences._fields))
         return jax.jit(
             run_fn,
             in_shardings=(params_sharding, batch_sharding, batch_sharding,
-                          rep, rep, rep, rep, rep,
-                          jax.tree.map(lambda _: batch_sharding,
-                                       ProcessedCorrespondences(
-                                           *[0] * 8))),
+                          rep, rep, rep, rep, rep, pcs_sharding),
             out_shardings=batch_sharding)
-    return jax.jit(run_fn)
+    # single-device path: persist through the AOT store like every other
+    # pipeline program (diffuser._build_guided_inference) — without this a
+    # fresh process pays the full batched-guided compile per batch size
+    from diffusionhandles_tpu.utils.aot import AotStore
+    return AotStore.default().wrap(
+        f"guided_batched:{gs}:{glr}:{num_optsteps}:{guidance_max_step}:"
+        f"{bg_loss_type}:{fg_patch}:{bg_patch}:{diffuser.conf.dtype}:"
+        f"{diffuser.conv_mode_tag}", run_fn)
 
 
 def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,

@@ -40,6 +40,24 @@ def jnp_zeros(aval):
     return jnp.zeros(aval[0], np.dtype(aval[1]))
 
 
+def _is_aval(av) -> bool:
+    """True iff av is exactly (shape_tuple_of_ints, dtype_str) — an
+    _arg_avals leaf. A looser predicate (any 2-tuple starting with a tuple)
+    also matches a 2-arg args tuple whose first arg is an aval, silently
+    breaking prefetch for any program whose arg 0 is a bare array."""
+    return (isinstance(av, tuple) and len(av) == 2
+            and isinstance(av[0], tuple)
+            and all(isinstance(s, int) for s in av[0])
+            and isinstance(av[1], str))
+
+
+def _dummy_args(avals):
+    """Zero-filled argument pytree from an _arg_avals record (for
+    prefetch-time first executions)."""
+    return jax.tree.map(lambda av: jnp_zeros(av) if _is_aval(av) else av,
+                        avals, is_leaf=_is_aval)
+
+
 # Modules that define the jitted compute graphs this store serializes.
 # Editing any of them invalidates every stored executable; unrelated modules
 # (services, testset, aux models) don't churn the cache.
@@ -93,7 +111,12 @@ def _resharding_call(compiled):
     input shardings first (deserialize_and_load can restore a program with a
     different device assignment than the caller's uncommitted arrays)."""
     try:
-        in_shardings = compiled.input_shardings[0]
+        # input_shardings[0] is a tuple of per-top-level-arg sharding
+        # PYTREES (one entry per argument, mirroring that argument's
+        # structure) — flatten to a leaf-aligned list so it zips against
+        # the flattened args (a params-dict arg alone has hundreds of
+        # leaves)
+        in_shardings = jax.tree.flatten(compiled.input_shardings[0])[0]
     except Exception:
         return compiled
 
@@ -183,7 +206,15 @@ class AotStore:
             got = self._loaded.get(key)
             if got is not None:
                 return got
-            # loader failed or timed out: fall through to own load
+            # owner failed or is still loading after wait_s: fall back to
+            # an own load, but do NOT touch the owner's claim — popping or
+            # setting it here would wake further waiters before _loaded is
+            # populated and fan out N duplicate multi-hundred-MB loads
+            compiled = self._load(key)
+            if compiled is not None:
+                with self._claim_lock:
+                    compiled = self._loaded.setdefault(key, compiled)
+            return compiled
         compiled = self._load(key)
         with self._claim_lock:
             if compiled is not None:
@@ -308,7 +339,12 @@ class AotStore:
             return None
         if self._prefetch_thread is not None:
             return self._prefetch_thread
-        self._code_hash = self._code_hash or _package_code_hash()
+        if self._code_hash is None:
+            # establishing the generation here must also collect stale
+            # generations — _key() only GCs when it is the one to set
+            # _code_hash, and prefetch runs before any wrapped call
+            self._code_hash = _package_code_hash()
+            self._gc()
 
         records = []
         for f in sorted(self.dir.glob(f"{self._code_hash}-*.aot")):
@@ -327,6 +363,11 @@ class AotStore:
                     return i
             return len(order)
 
+        # only programs named in `order` are prefetched: the store is
+        # repo-level and shared, so entries from other program families
+        # (e.g. a one-off script's graphs) would otherwise be uploaded
+        # through the ~35 MB/s tunnel ahead of programs the pipeline needs
+        records = [r for r in records if rank(r[1]) < len(order)]
         records.sort(key=lambda r: rank(r[1]))
 
         def worker():
@@ -335,11 +376,7 @@ class AotStore:
                 if compiled is None:
                     continue
                 try:
-                    dummies = jax.tree.map(
-                        lambda av: (jnp_zeros(av) if isinstance(av, tuple)
-                                    else av), avals,
-                        is_leaf=lambda av: isinstance(av, tuple)
-                        and len(av) == 2 and isinstance(av[0], tuple))
+                    dummies = _dummy_args(avals)
                     out = compiled(*dummies)
                     jax.block_until_ready(out)
                     self.stats["prefetched"] += 1

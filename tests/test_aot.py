@@ -106,3 +106,69 @@ def test_save_records_name_and_avals_for_prefetch(tmp_path, cpu_aot):
 def test_prefetch_async_noop_on_cpu(tmp_path, cpu_aot):
     store = AotStore(str(tmp_path))
     assert store.prefetch_async() is None
+
+
+def test_dummy_args_two_array_args():
+    """Regression: a program whose arg 0 is a bare array (not a params
+    dict) must reconstruct per-arg dummies — a loose is_leaf that matches
+    any 2-tuple starting with a tuple mistakes the whole 2-arg args tuple
+    for one aval and kills its prefetch."""
+    from diffusionhandles_tpu.utils.aot import _arg_avals, _dummy_args
+
+    args = (jnp.zeros((4, 2), jnp.float32), jnp.zeros((4,), jnp.bfloat16))
+    dummies = _dummy_args(_arg_avals(args))
+    assert len(dummies) == 2
+    assert dummies[0].shape == (4, 2) and dummies[0].dtype == jnp.float32
+    assert dummies[1].shape == (4,) and dummies[1].dtype == jnp.bfloat16
+    # nested pytrees with non-array leaves survive untouched
+    args2 = ({"w": jnp.zeros((3,), jnp.float32), "flag": True},
+             jnp.zeros((2, 2), jnp.float32))
+    d2 = _dummy_args(_arg_avals(args2))
+    assert d2[0]["flag"] is True and d2[0]["w"].shape == (3,)
+    assert d2[1].shape == (2, 2)
+
+
+def test_prefetch_async_gcs_stale_generations(tmp_path, monkeypatch):
+    """Regression: prefetch_async establishes the code-hash generation
+    before any wrapped call, so it must also run the stale-generation GC
+    (otherwise _key() never does and old multi-hundred-MB blobs live
+    forever)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    store = AotStore(str(tmp_path))
+    stale = tmp_path / "deadbeef00000000-abc.aot"
+    stale.write_bytes(b"stale")
+    t = store.prefetch_async()
+    assert t is not None
+    t.join(timeout=30)
+    assert not stale.exists()
+
+
+def test_resharding_call_handles_pytree_args(tmp_path, cpu_aot):
+    """Regression: compiled.input_shardings[0] is a tuple of per-ARG
+    sharding pytrees; the resharding wrapper must flatten it leaf-aligned
+    (a params-dict arg 0 alone has many leaves) instead of comparing the
+    arg count against the leaf count and silently skipping."""
+    from diffusionhandles_tpu.utils.aot import _resharding_call
+
+    def fn(params, x):
+        return params["w"] @ x + params["b"]
+
+    params = {"w": jnp.eye(4, dtype=jnp.float32),
+              "b": jnp.ones((4,), jnp.float32)}
+    x = jnp.arange(4, dtype=jnp.float32)
+    compiled = jax.jit(fn).lower(params, x).compile()
+
+    puts = []
+    orig_put = jax.device_put
+    monkeypatch_target = lambda v, s: (puts.append(1), orig_put(v, s))[1]
+    import diffusionhandles_tpu.utils.aot as aot_mod
+    old = aot_mod.jax.device_put
+    aot_mod.jax.device_put = monkeypatch_target
+    try:
+        call = _resharding_call(compiled)
+        out = call(params, x)
+    finally:
+        aot_mod.jax.device_put = old
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(fn(params, x)))
+    assert len(puts) == 3  # w, b, x all re-placed (leaf-aligned zip ran)
