@@ -55,6 +55,10 @@ from diffusionhandles_tpu.utils.aot import AotStore
 from diffusionhandles_tpu.utils.rng import seeded_randn
 
 
+# activation-stack storage dtypes (config.activation_store_dtype)
+ACT_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
 class GuidedDiffuser:
     """Abstract diffuser interface (reference: diffhandles/guided_diffuser.py)."""
 
@@ -194,7 +198,9 @@ class GuidedStableDiffuser(GuidedDiffuser):
         fast_cfg = self.models.unet_config
         if conf.flash_attention and not fast_cfg.flash_attention:
             fast_cfg = dataclasses.replace(fast_cfg, flash_attention=True)
-        if (getattr(conf, "pallas_conv", False)
+        if (getattr(conf, "pallas_conv", True)  # same default as
+                # create_sd_models' gate — a config object lacking the
+                # field must enable/disable BOTH custom conv paths together
                 and jax.default_backend() == "tpu"
                 and fast_cfg.pallas_conv is not True):
             fast_cfg = dataclasses.replace(fast_cfg, pallas_conv=True)
@@ -243,7 +249,11 @@ class GuidedStableDiffuser(GuidedDiffuser):
         returns [1, latent, latent, 1] float32.
         """
         depth = jnp.asarray(depth, jnp.float32)
-        depth = depth.reshape(depth.shape[-2], depth.shape[-1])[None, ..., None]
+        if depth.ndim == 4 and depth.shape[-1] == 1 and depth.shape[0] == 1:
+            hw = depth.shape[1:3]        # [1, H, W, 1] (NHWC)
+        else:
+            hw = depth.shape[-2:]        # [H, W] / [1, H, W] / [1, 1, H, W]
+        depth = depth.reshape(*hw)[None, ..., None]
         depth = resize_nhwc(depth, (self.latent_res, self.latent_res),
                             "bicubic")
         dmin = jnp.min(depth, axis=(1, 2, 3), keepdims=True)
@@ -327,7 +337,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
         unet = self.unet_fast
         schedule = self.schedule
         gs = self.conf.guidance_scale
-        act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        act_dtype = ACT_DTYPES[
             self.conf.activation_store_dtype]
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
 
@@ -383,9 +393,13 @@ class GuidedStableDiffuser(GuidedDiffuser):
             init_latents = self.seeded_init_latents()
         init_latents = jnp.asarray(init_latents, jnp.float32)
 
-        if "initial" not in self._jit_cache:
-            self._jit_cache["initial"] = self._build_initial_inference()
-        acts, latents = self._jit_cache["initial"](
+        # gs is baked into the compiled closure, so it must key the cache
+        # (a conf mutated between calls would otherwise reuse the stale
+        # constant silently)
+        ikey = ("initial", self.conf.guidance_scale)
+        if ikey not in self._jit_cache:
+            self._jit_cache[ikey] = self._build_initial_inference()
+        acts, latents = self._jit_cache[ikey](
             self.models.unet_params, init_latents, depth64, uncond_seq, cond)
         return list(acts), latents, uncond_seq, init_latents
 
@@ -461,9 +475,14 @@ class GuidedStableDiffuser(GuidedDiffuser):
 
             def plain_step(latents, xs):
                 step_idx, uncond_t = xs
+                # emit (pre-CFG, post-CFG) like the reference: past
+                # guidance_max_step the opt loop is empty, so the "post
+                # opt" decode is the PREVIOUS step's latents
+                # (guided_stable_diffuser.py:443-479)
+                pre = latents
                 latents = cfg_step(unet_params, latents, depth64, uncond_t,
                                    cond_emb, step_idx)
-                out = (latents, latents) if emit_steps else None
+                out = (pre, latents) if emit_steps else None
                 return latents, out
 
             T = schedule.num_inference_steps
@@ -505,8 +524,14 @@ class GuidedStableDiffuser(GuidedDiffuser):
         T = self.schedule.num_inference_steps
 
         if processed_correspondences is None:
+            # correspondences live in the DEPTH map's pixel space, which
+            # need not be the model's native resolution (the reference uses
+            # depth.shape[-1], diffhandles/guided_stable_diffuser.py) — a
+            # hard-coded 512 would silently drop points beyond 512 and bin
+            # the rest into wrong latent cells for e.g. 768^2 depth inputs
+            depth_res = int(max(np.asarray(depth).shape[-2:]))
             pc = process_correspondences(
-                np.asarray(correspondences), img_res=self.image_res,
+                np.asarray(correspondences), img_res=depth_res,
                 bg_erosion=conf.bg_erosion,
                 max_corr=conf.max_correspondences,
                 latent_res=self.latent_res)
@@ -528,16 +553,20 @@ class GuidedStableDiffuser(GuidedDiffuser):
         fgw = fgw[:conf.guidance_max_step]
         bgw = bgw[:conf.guidance_max_step]
 
+        # every conf scalar baked into the compiled closure keys the cache
+        # (guidance_scale/guidance_lr were omitted once: mutating conf
+        # between calls silently reused the stale constants)
         key = ("guided", conf.bg_loss_type, conf.fg_patch_size,
                conf.bg_patch_size, conf.num_optsteps,
-               conf.guidance_max_step, save_denoising_steps)
+               conf.guidance_max_step, save_denoising_steps,
+               conf.guidance_scale, conf.guidance_lr)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_guided_inference(
                 conf.bg_loss_type, conf.fg_patch_size, conf.bg_patch_size,
                 conf.num_optsteps, conf.guidance_max_step,
                 save_denoising_steps)
 
-        act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        act_dtype = ACT_DTYPES[
             conf.activation_store_dtype]
         acts_orig = tuple(jnp.asarray(a, act_dtype)
                           for a in activations_orig)

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
+from diffusionhandles_tpu.diffuser import (ACT_DTYPES,
+                                           GuidedStableDiffuser)
 from diffusionhandles_tpu.scheduler import ddim_next_step, ddim_step
 from diffusionhandles_tpu.utils.aot import AotStore
 
@@ -78,8 +79,7 @@ class StableNullInverter(NullInverter):
                                  inner_loop: str = "while",
                                  record: bool = False):
         model = self.model
-        act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-            model.conf.activation_store_dtype]
+        act_dtype = ACT_DTYPES[model.conf.activation_store_dtype]
         # grad path: flash attention + XLA convs (best measured bwd);
         # no-grad passes additionally use the Pallas conv kernel
         unet = model.models.unet

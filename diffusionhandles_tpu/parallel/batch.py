@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffusionhandles_tpu.diffuser import GuidedStableDiffuser
+from diffusionhandles_tpu.diffuser import (ACT_DTYPES,
+                                           GuidedStableDiffuser)
 from diffusionhandles_tpu.guidance import (ProcessedCorrespondences,
                                            background_loss_apply,
                                            background_orig_precompute,
@@ -224,8 +225,11 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
                          if "translation" in tr else None),
             depth_transform_mode=handles.conf.depth_transform_mode)
         depth64s.append(d.init_depth(edited_disparity)[0])
+        # correspondences live in the depth map's pixel space (see
+        # diffuser.guided_inference), not the model's native resolution
+        depth_res = int(max(np.asarray(depth).shape[-2:]))
         pcs.append(process_correspondences(
-            corr, img_res=d.image_res, bg_erosion=conf.bg_erosion,
+            corr, img_res=depth_res, bg_erosion=conf.bg_erosion,
             max_corr=conf.max_correspondences, latent_res=d.latent_res))
 
     B = len(transforms)
@@ -247,8 +251,7 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
     fgw = fgw[:conf.guidance_max_step]
     bgw = bgw[:conf.guidance_max_step]
 
-    act_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-        conf.activation_store_dtype]
+    act_dtype = ACT_DTYPES[conf.activation_store_dtype]
     # device-resident transpose/cast (the stacks are ~0.5 GB; forcing numpy
     # here costs a device-tunnel round trip)
     acts_orig = tuple(jnp.asarray(to_nhwc(a), act_dtype)

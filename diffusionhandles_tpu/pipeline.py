@@ -42,7 +42,13 @@ class DiffusionHandles:
         self.diffuser = GuidedStableDiffuser(
             conf.guided_diffuser, model_paths=conf.model_paths,
             variant=variant)
-        self.inverter = StableNullInverter(self.diffuser)
+        # the inversion must roll forward at the SAME CFG scale the guided
+        # diffuser replays with, or the null-text embeddings (and the fused
+        # recording captured along the inversion trajectory) describe a
+        # different trajectory than the one steps 2-3 denoise on
+        self.inverter = StableNullInverter(
+            self.diffuser,
+            guidance_scale=conf.guided_diffuser.guidance_scale)
         self.img_res = self.diffuser.image_res
         # Fresh-process cold start: begin uploading the stored compiled
         # executables to the device in pipeline order while the caller is

@@ -142,3 +142,60 @@ def test_fused_recording_matches_standalone(handles, sample):
     n3, _, _, _ = h.generate_input_image(
         sample["depth"], "a different prompt", h2_null, h2_noise)
     assert n3.shape == h2_null.shape
+
+
+def test_inverter_inherits_configured_guidance_scale():
+    """Regression: the pipeline's inverter must roll forward at the SAME
+    CFG scale the guided diffuser replays with — a custom
+    guidance_scale left the inverter at its 7.5 default, so the null-text
+    embeddings (and fused-recording capture) described a different
+    trajectory than steps 2-3 denoise on."""
+    conf = DiffusionHandlesConfig(
+        guided_diffuser=GuidedDiffuserConfig(
+            num_timesteps=2, num_optsteps=1, guidance_max_step=1,
+            guidance_scale=3.25, dtype="float32", remat_guidance=False))
+    h = DiffusionHandles(conf, variant="tiny")
+    assert h.inverter.guidance_scale == 3.25
+
+
+def test_init_depth_accepts_all_documented_layouts(handles):
+    """init_depth advertises [H,W], [1,H,W], [1,1,H,W] and [1,H,W,1]; the
+    NHWC layout used to crash (reshape(W, 1))."""
+    d = handles.diffuser
+    res = handles.img_res
+    rng = np.random.RandomState(0)
+    base = (2.0 + rng.rand(res, res)).astype(np.float32)
+    ref = np.asarray(d.init_depth(base))
+    for layout in (base[None], base[None, None], base[None, ..., None]):
+        np.testing.assert_array_equal(np.asarray(d.init_depth(layout)), ref)
+
+
+def test_correspondences_processed_at_depth_resolution(handles, sample):
+    """Regression: guided_inference must bin correspondences in the DEPTH
+    map's pixel space (reference: img_res=depth.shape[-1]), not the
+    model's native resolution — a larger depth map used to silently drop
+    points beyond the native res and bin the rest into wrong cells."""
+    from unittest import mock
+
+    import diffusionhandles_tpu.diffuser as diffuser_mod
+
+    d = handles.diffuser
+    res2 = handles.img_res * 2
+    depth_big = np.ones((1, 1, res2, res2), np.float32)
+    corr = np.array([[res2 - 1, res2 - 1, 0, 0]], np.int64)
+    acts, _, _, _ = d.initial_inference(None, depth_big, None, "x")
+    seen = {}
+    real_pc = diffuser_mod.process_correspondences
+
+    def spy(*args, **kwargs):
+        seen.update(kwargs)
+        return real_pc(*args, **kwargs)
+
+    uncond = np.asarray(d.encode_prompt(""))
+    with mock.patch.object(diffuser_mod, "process_correspondences", spy):
+        d.guided_inference(
+            latents=np.zeros((1, d.latent_res, d.latent_res, 4),
+                             np.float32),
+            depth=depth_big, uncond_embeddings=uncond, prompt="x",
+            activations_orig=acts, correspondences=corr)
+    assert seen["img_res"] == res2
