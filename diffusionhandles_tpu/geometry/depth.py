@@ -110,9 +110,13 @@ def _splat(points, point_mask, valid, intrinsics, out_hw_arr):
     proj = jnp.einsum("ij,nj->ni", intrinsics, pts)
     u = proj[:, 0] / proj[:, 2]
     v = proj[:, 1] / proj[:, 2]
+    # invert image_plane_coords per axis: column c maps to
+    # x = (2c - (w-1)) / (max(h,w)-1), so c = x*0.5*m + (w-1)/2 — using
+    # (x*0.5+0.5)*m on both axes only inverts the LONGER one and shifts +
+    # clips the shorter axis of non-square images
     m = max(h, w) - 1
-    u = (u * 0.5 + 0.5) * m
-    v = (v * 0.5 + 0.5) * m
+    u = u * 0.5 * m + (w - 1) / 2.0
+    v = v * 0.5 * m + (h - 1) / 2.0
     u = jnp.round(jnp.clip(u, 0, w - 1)).astype(jnp.int32)
     v = jnp.round(jnp.clip(v, 0, h - 1)).astype(jnp.int32)
     z = jnp.where(valid, pts[:, 2], _BIG)
@@ -147,6 +151,14 @@ def points_to_depth(points, intrinsics, output_size: Tuple[int, int],
       points: [N, 3] world/camera points (reference frame conventions).
       point_mask: [N] bool/int — True for foreground ("modified") points.
       valid: [N] bool — False entries are ignored (fixed-shape padding).
+
+    Deliberate divergence: the reference applies the camera-to-world
+    transform in BOTH directions (depth_transform.py:639 lifts with
+    R^T(p - t), :667 "projects" with inv(R)(p - t), contradicting its own
+    :638 comment "world to cam is (R @ p) + t"), so any non-identity
+    extrinsics break its lift-project round trip; no reference code path
+    passes extrinsics, making the bug latent there. Here the projection
+    applies the true inverse R @ p + t.
     """
     points = jnp.asarray(points, jnp.float32)
     n = points.shape[0]
@@ -161,7 +173,11 @@ def points_to_depth(points, intrinsics, output_size: Tuple[int, int],
              if extrinsics_R is not None else jnp.eye(3))
         t = (jnp.asarray(extrinsics_t, jnp.float32)
              if extrinsics_t is not None else jnp.zeros(3))
-        points = jnp.einsum("ij,nj->ni", jnp.linalg.inv(R), points - t)
+        # world -> camera is the INVERSE of depth_to_world_coords' lift
+        # (world = R^T (cam - t)): cam = R @ world + t — applying the lift
+        # transform here too made any non-identity extrinsics corrupt the
+        # lift-then-splat round trip (translation error 2|t|)
+        points = jnp.einsum("ij,nj->ni", R, points) + t
     out = _splat(points, point_mask, valid,
                  jnp.asarray(intrinsics, jnp.float32),
                  jnp.zeros(output_size, jnp.uint8))

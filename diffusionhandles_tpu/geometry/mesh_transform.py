@@ -41,9 +41,14 @@ def merge_meshes(*meshes: Mesh) -> Mesh:
 
 def render_depth_meshes(mesh: Mesh, intrinsics, height: int, width: int,
                         cull_backfaces: bool = True):
-    """Rasterize a merged depth mesh; returns (zbuf, color, mask)."""
-    focal = float(np.asarray(intrinsics)[0, 0])
-    verts_px = project_verts(jnp.asarray(mesh.verts), focal, height, width)
+    """Rasterize a merged depth mesh; returns (zbuf, color, mask).
+
+    Projects with the FULL intrinsics matrix so fx != fy / principal
+    points land at the same pixels the pc path's splat produces (the mesh
+    was also unprojected with full K_inv in depth_to_mesh)."""
+    verts_px = project_verts(jnp.asarray(mesh.verts),
+                             np.asarray(intrinsics, np.float32),
+                             height, width)
     raster = rasterize(verts_px, jnp.asarray(mesh.faces), height, width,
                        cull_backfaces=cull_backfaces)
     color = interpolate_attribute(raster, mesh.faces,
@@ -65,13 +70,8 @@ def transform_depth_mesh(depth, bg_depth, fg_mask, intrinsics,
     h, w = depth.shape[-2:]
     fg = np.asarray(fg_mask, np.float32).reshape(h, w)
     if not (fg > 0.5).any():
-        if use_input_depth_normalization:
-            _, bounds = normalize_depth(1.0 / jnp.asarray(depth),
-                                        return_bounds=True)
-        else:
-            bounds = None
-        return (normalize_depth(1.0 / jnp.asarray(depth), bounds=bounds),
-                np.zeros((0, 4), np.int64))
+        from diffusionhandles_tpu.geometry.transform import _empty_result
+        return _empty_result(depth, use_input_depth_normalization)
 
     rot_axis = (np.array([0.0, 1.0, 0.0], np.float32) if rot_axis is None
                 else np.asarray(rot_axis, np.float32))
@@ -87,7 +87,9 @@ def transform_depth_mesh(depth, bg_depth, fg_mask, intrinsics,
     merged = merge_meshes(bg_mesh, fg_mesh)
     zbuf, color, mask = render_depth_meshes(merged, intrinsics, h, w)
 
-    edited_depth = np.asarray(zbuf)
+    # zbuf stays device-resident (normalize_depth consumes it below; a
+    # host pull of the freshly-computed array costs ~30 ms through the
+    # tunnel); only color is needed on host, for np.nonzero packing
     color = np.asarray(color)
     src_uv = color[..., :2]
     fg_rendered = color[..., 2] > 0.5
@@ -106,6 +108,5 @@ def transform_depth_mesh(depth, bg_depth, fg_mask, intrinsics,
     else:
         bounds = None
     # empty pixels (no mesh coverage): depth inf -> disparity 0
-    edited = jnp.asarray(edited_depth)[None, None]
-    edited_disparity = normalize_depth(1.0 / edited, bounds=bounds)
+    edited_disparity = normalize_depth(1.0 / zbuf[None, None], bounds=bounds)
     return edited_disparity, corr

@@ -141,8 +141,9 @@ class RasterRenderer(Renderer):
             cam_verts = (R @ verts.T).T + t
         else:
             cam_verts = verts
-        focal = float(np.asarray(cam.intrinsics)[0, 0])
-        verts_px = project_verts(jnp.asarray(cam_verts), focal, h, w)
+        verts_px = project_verts(jnp.asarray(cam_verts),
+                                 np.asarray(cam.intrinsics, np.float32),
+                                 h, w)
         if self.args.blend_type not in ("hard", "sigmoid", "softmax"):
             raise ValueError(
                 f"Unsupported blend type: {self.args.blend_type}")

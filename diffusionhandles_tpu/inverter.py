@@ -46,6 +46,16 @@ class StableNullInverter(NullInverter):
         super().__init__(model)
         self.num_ddim_steps = (num_ddim_steps
                                or model.schedule.num_inference_steps)
+        if self.num_ddim_steps != model.schedule.num_inference_steps:
+            # the ddim loop indexes timesteps with num_ddim_steps while
+            # ddim_next_step/ddim_step index alphas with the schedule's own
+            # length — a mismatch silently pairs every eps with the wrong
+            # alpha; rebuild the diffuser's schedule instead
+            raise ValueError(
+                f"num_ddim_steps={self.num_ddim_steps} must equal the "
+                f"model schedule's num_inference_steps="
+                f"{model.schedule.num_inference_steps} (configure "
+                f"GuidedDiffuserConfig.num_timesteps)")
         self.guidance_scale = guidance_scale
         self._jit_cache = {}
 
@@ -215,7 +225,8 @@ class StableNullInverter(NullInverter):
 
     def invert(self, target_img, depth, prompt: str,
                num_inner_steps: int = 10, early_stop_epsilon: float = 1e-5,
-               verbose: bool = False, record_activations: bool = False):
+               verbose: bool = False, record_activations: bool = False,
+               return_recon: bool = True):
         """Invert an image to (init noise, per-step null embeddings).
 
         Args:
@@ -236,7 +247,11 @@ class StableNullInverter(NullInverter):
         uncond, cond = model.init_prompt(prompt)
 
         latent0 = model.encode_latent_image(jnp.asarray(target_img))
-        recon_img = model.decode_latent_image(latent0)
+        # the VAE-recon preview is part of the reference contract but the
+        # pipeline facade discards it — return_recon=False skips the full
+        # VAE decode on the hot path
+        recon_img = (model.decode_latent_image(latent0) if return_recon
+                     else None)
 
         if "ddim_loop" not in self._jit_cache:
             self._jit_cache["ddim_loop"] = self._build_ddim_loop()

@@ -40,18 +40,29 @@ class RasterOut(NamedTuple):
     zbuf: jnp.ndarray
 
 
-def project_verts(verts, focal: float, height: int, width: int):
+def project_verts(verts, intrinsics, height: int, width: int):
     """PyTorch3D-frame verts [V,3] -> continuous pixel coords + view z.
 
-    Matches the pc path's projection (geometry/depth.py _splat): the
-    PyTorch3D frame flips x/y relative to the projection frame, and NDC
-    [-1,1] maps to [0, max(H,W)-1] pixels.
+    Matches the pc path's projection (geometry/depth.py _splat) exactly:
+    the PyTorch3D frame flips x/y relative to the projection frame
+    (M_inv = diag(-1,-1,1)), the full 3x3 intrinsics apply (fx != fy and
+    principal points honored, like depth_to_world_coords' K_inv on the
+    lift side), and NDC inverts image_plane_coords per axis
+    (c = x*0.5*(max(H,W)-1) + (dim-1)/2).
+
+    intrinsics: 3x3 camera matrix, or a scalar focal length f
+      (== diag(f, f, 1)).
     """
     verts = jnp.asarray(verts, jnp.float32)
+    K = jnp.asarray(intrinsics, jnp.float32)
+    if K.ndim == 0:
+        K = jnp.diag(jnp.stack([K, K, jnp.ones((), jnp.float32)]))
     z = verts[:, 2]
+    pts = verts * jnp.array([-1.0, -1.0, 1.0])
+    proj = pts @ K.T
     m = max(height, width) - 1
-    u = (0.5 - 0.5 * focal * verts[:, 0] / z) * m
-    v = (0.5 - 0.5 * focal * verts[:, 1] / z) * m
+    u = proj[:, 0] / proj[:, 2] * 0.5 * m + (width - 1) / 2.0
+    v = proj[:, 1] / proj[:, 2] * 0.5 * m + (height - 1) / 2.0
     return jnp.stack([u, v, z], axis=-1)
 
 

@@ -87,10 +87,11 @@ class DiffusionHandles:
             # without re-running the 50-step batch-2 recording scan.
             _, init_noise, null_text_emb, recording = self.inverter.invert(
                 img_nhwc, disparity, prompt, num_inner_steps=5,
-                record_activations=True)
+                record_activations=True, return_recon=False)
         else:
             _, init_noise, null_text_emb = self.inverter.invert(
-                img_nhwc, disparity, prompt, num_inner_steps=5)
+                img_nhwc, disparity, prompt, num_inner_steps=5,
+                return_recon=False)
         # inverter's uncond_seq is already [T, 1, 77, D] (the reference's
         # stacked uncond_embeddings[:1] layout, stable_null_inverter.py:166).
         # Both returns stay DEVICE-resident (numpy-duck-typed): pulling the

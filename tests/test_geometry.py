@@ -232,3 +232,72 @@ def test_glb_roundtrip_with_colors():
     np.testing.assert_array_equal(loaded.faces, faces)
     np.testing.assert_allclose(loaded.vert_attributes["color"],
                                mesh.vert_attributes["color"], rtol=1e-6)
+
+
+def test_lift_project_roundtrip_with_extrinsics():
+    """Regression: points_to_depth must apply the INVERSE of
+    depth_to_world_coords' extrinsics (cam = R @ world + t). Applying the
+    lift transform both ways (as the reference's depth_transform.py:667
+    does, contradicting its own :638 comment) makes any non-identity
+    extrinsics corrupt the round trip by 2|t| / double rotation."""
+    from scipy.spatial.transform import Rotation
+
+    res = 32
+    rng = np.random.RandomState(1)
+    depth = (2.0 + rng.rand(res, res)).astype(np.float32)
+    K = _intrinsics()
+    R = Rotation.from_rotvec([0.0, np.deg2rad(10.0), 0.0]).as_matrix()
+    t = np.array([0.05, -0.02, 0.3], np.float32)
+    pts = depth_to_world_coords(depth[None, None], K,
+                                extrinsics_R=R, extrinsics_t=t)
+    splat = points_to_depth(np.asarray(pts).reshape(-1, 3), K, (res, res),
+                            extrinsics_R=R, extrinsics_t=t)
+    got = np.asarray(splat.depth_map)
+    # the same camera re-projects its own lifted points onto the grid
+    finite = np.isfinite(got)
+    assert finite.mean() > 0.95
+    np.testing.assert_allclose(got[finite], depth[finite], atol=2e-3)
+
+
+def test_lift_project_roundtrip_nonsquare():
+    """Regression: the splat's NDC->pixel mapping must invert
+    image_plane_coords PER AXIS — (u*0.5+0.5)*(max-1) shifted the shorter
+    axis of non-square maps by (max-min)/2 pixels and clipped it."""
+    h, w = 16, 8
+    rng = np.random.RandomState(2)
+    depth = (2.0 + rng.rand(h, w)).astype(np.float32)
+    K = _intrinsics()
+    pts = depth_to_world_coords(depth[None, None], K)
+    splat = points_to_depth(np.asarray(pts).reshape(-1, 3), K, (h, w))
+    got = np.asarray(splat.depth_map)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, depth, rtol=1e-4, atol=1e-4)
+    # every pixel wins exactly its own lifted point
+    np.testing.assert_array_equal(
+        np.asarray(splat.u).reshape(h, w),
+        np.broadcast_to(np.arange(w), (h, w)))
+    np.testing.assert_array_equal(
+        np.asarray(splat.v).reshape(h, w),
+        np.broadcast_to(np.arange(h)[:, None], (h, w)))
+
+
+def test_mesh_projection_honors_full_intrinsics():
+    """Regression: the mesh path projected with only K[0,0], so fx != fy
+    or principal points silently diverged from the pc path. project_verts
+    must land mesh vertices on the same pixels the splat produces."""
+    from diffusionhandles_tpu.ops.rasterize import project_verts
+
+    res = 16
+    rng = np.random.RandomState(3)
+    depth = (2.0 + rng.rand(res, res)).astype(np.float32)
+    K = np.array([[1.2, 0.0, 0.05],
+                  [0.0, 0.9, -0.03],
+                  [0.0, 0.0, 1.0]], np.float32)
+    pts = depth_to_world_coords(depth[None, None], K)
+    verts = np.asarray(pts).reshape(-1, 3)
+    splat = points_to_depth(verts, K, (res, res))
+    proj = np.asarray(project_verts(verts, K, res, res))
+    np.testing.assert_array_equal(
+        np.round(proj[:, 0]).astype(np.int32), np.asarray(splat.u))
+    np.testing.assert_array_equal(
+        np.round(proj[:, 1]).astype(np.int32), np.asarray(splat.v))
