@@ -134,7 +134,8 @@ class Conv3x3(nn.Module):
     """nn.Conv-compatible 3x3 SAME conv (same parameter tree) that runs the
     Pallas flattened-shift kernel (ops/conv.py) when eligible — avoids
     XLA's im2col staging fusions and layout copies that dominate batch-1
-    device traces — and falls back to lax.conv otherwise."""
+    device traces — and falls back to the row-major tap-matmul form
+    (conv3x3_taps) otherwise, including for stride 2."""
 
     features: int
     dtype: Any = jnp.bfloat16
@@ -160,7 +161,8 @@ class Conv3x3(nn.Module):
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
         if (self.impl != "taps" and self.stride == 1
-                and conv3x3_ok(xd.shape, kernel.shape)):
+                and conv3x3_ok(xd.shape, kernel.shape,
+                               dtype_bytes=jnp.dtype(self.dtype).itemsize)):
             from diffusionhandles_tpu.ops.conv import conv3x3_mixed
             y = {"hybrid": conv3x3_hybrid,
                  "mixed": conv3x3_mixed}.get(self.impl, conv3x3)(xd, kd)
@@ -254,7 +256,7 @@ class ResnetBlock(nn.Module):
                          dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        if self.split_at > 0 and not self.pallas_conv:
+        if self.split_at > 0 and not use_pallas3:
             h = SplitInputConv(self.out_channels, (3, 3),
                                split_at=self.split_at, padding=1,
                                dtype=self.dtype,
@@ -275,7 +277,7 @@ class ResnetBlock(nn.Module):
         h = conv3(self.out_channels, dtype=self.dtype,
                   param_dtype=self.param_dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
-            if self.split_at > 0 and not self.pallas_conv:
+            if self.split_at > 0 and not use_pallas3:
                 residual = SplitInputConv(
                     self.out_channels, (1, 1), split_at=self.split_at,
                     padding=0, dtype=self.dtype,
@@ -462,9 +464,10 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # "flat" mode only: the tap-matmul form compiled pathologically
-        # slowly on this runtime (>25 min for a 16-step scan), so the
-        # measured-good default keeps XLA's stride-2 conv here
+        # row-major modes route the stride-2 conv through Conv3x3, which
+        # always evaluates stride 2 in the taps form (the Pallas kernel is
+        # stride-1 only) so the layout stays [B, S, C]; other modes keep
+        # XLA's stride-2 conv
         if self.pallas_conv in ("flat", "taps", "fused"):
             return Conv3x3(self.channels, dtype=self.dtype,
                            param_dtype=self.param_dtype, stride=2,
@@ -485,8 +488,12 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        # "mm1x1" contract is XLA 3x3 convs (only the 1x1 shortcuts change
+        # form) — routing this conv through _conv3_impl would silently give
+        # it the Pallas path, corrupting that mode's A/B measurements
+        use_pallas3 = self.pallas_conv and self.pallas_conv != "mm1x1"
         conv3 = (functools.partial(Conv3x3, impl=_conv3_impl(self.pallas_conv))
-            if self.pallas_conv else functools.partial(
+            if use_pallas3 else functools.partial(
                 nn.Conv, kernel_size=(3, 3), padding=1))
         return conv3(self.channels, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="conv")(x)
@@ -503,6 +510,7 @@ class DownBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     pallas_conv: Any = False
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x, temb, context, capture_probs: bool = False):
@@ -511,6 +519,7 @@ class DownBlock(nn.Module):
         for i in range(self.num_layers):
             x = ResnetBlock(self.out_channels, dtype=self.dtype,
                             param_dtype=self.param_dtype,
+                            groups=self.groups,
                             pallas_conv=self.pallas_conv,
                             name=f"resnets_{i}")(x, temb)
             if self.num_heads:
@@ -519,7 +528,7 @@ class DownBlock(nn.Module):
                     self.cross_attention_dim,
                     use_linear_projection=self.use_linear_projection,
                     dtype=self.dtype, param_dtype=self.param_dtype,
-                    use_flash=self.use_flash,
+                    groups=self.groups, use_flash=self.use_flash,
                     name=f"attentions_{i}")(x, context,
                                             capture_probs=capture_probs)
                 probs.append(p)
@@ -545,6 +554,7 @@ class UpBlock(nn.Module):
     param_dtype: Any = jnp.float32
     split_skip_conv: bool = False
     pallas_conv: Any = False
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x, skips, temb, context, capture_probs: bool = False):
@@ -554,6 +564,7 @@ class UpBlock(nn.Module):
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
             x = ResnetBlock(self.out_channels, dtype=self.dtype,
                             param_dtype=self.param_dtype,
+                            groups=self.groups,
                             split_at=(trunk_ch if self.split_skip_conv
                                       else 0),
                             pallas_conv=self.pallas_conv,
@@ -564,7 +575,7 @@ class UpBlock(nn.Module):
                     self.cross_attention_dim,
                     use_linear_projection=self.use_linear_projection,
                     dtype=self.dtype, param_dtype=self.param_dtype,
-                    use_flash=self.use_flash,
+                    groups=self.groups, use_flash=self.use_flash,
                     name=f"attentions_{i}")(x, context,
                                             capture_probs=capture_probs)
                 probs.append(p)
@@ -585,11 +596,13 @@ class MidBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     pallas_conv: Any = False
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x, temb, context, capture_probs: bool = False):
         x = ResnetBlock(self.channels, dtype=self.dtype,
                         param_dtype=self.param_dtype,
+                        groups=self.groups,
                         pallas_conv=self.pallas_conv,
                         name="resnets_0")(x, temb)
         x, probs = Transformer2D(
@@ -597,10 +610,11 @@ class MidBlock(nn.Module):
             self.cross_attention_dim,
             use_linear_projection=self.use_linear_projection,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            use_flash=self.use_flash,
+            groups=self.groups, use_flash=self.use_flash,
             name="attentions_0")(x, context, capture_probs=capture_probs)
         x = ResnetBlock(self.channels, dtype=self.dtype,
                         param_dtype=self.param_dtype,
+                        groups=self.groups,
                         pallas_conv=self.pallas_conv,
                         name="resnets_1")(x, temb)
         return x, [probs]
@@ -671,7 +685,7 @@ class UNet2DCondition(nn.Module):
                 cross_attention_dim=cfg.cross_attention_dim,
                 use_linear_projection=cfg.use_linear_projection,
                 use_flash=cfg.flash_attention,
-                pallas_conv=cfg.pallas_conv,
+                pallas_conv=cfg.pallas_conv, groups=cfg.norm_num_groups,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"down_blocks_{i}")(x, temb, context, capture_attention)
             skips.extend(block_skips)
@@ -684,7 +698,7 @@ class UNet2DCondition(nn.Module):
             cross_attention_dim=cfg.cross_attention_dim,
             use_linear_projection=cfg.use_linear_projection,
             use_flash=cfg.flash_attention,
-            pallas_conv=cfg.pallas_conv,
+            pallas_conv=cfg.pallas_conv, groups=cfg.norm_num_groups,
             dtype=dtype, param_dtype=cfg.param_dtype,
             name="mid_block")(x, temb, context, capture_attention)
 
@@ -706,7 +720,7 @@ class UNet2DCondition(nn.Module):
                 use_linear_projection=cfg.use_linear_projection,
                 use_flash=cfg.flash_attention,
                 split_skip_conv=cfg.split_skip_conv,
-                pallas_conv=cfg.pallas_conv,
+                pallas_conv=cfg.pallas_conv, groups=cfg.norm_num_groups,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"up_blocks_{i}")(x, block_skips, temb, context,
                                        capture_attention)

@@ -99,9 +99,15 @@ def _vmem_bytes(h, wdt, ci, co_tile, dtype_bytes=2):
     return s_in + s_w + s_acc + s_out
 
 
-def conv3x3_ok(x_shape, w_shape) -> bool:
+def conv3x3_ok(x_shape, w_shape, dtype_bytes: int = 2) -> bool:
     """Eligibility: 3x3 kernel, activation + weights fit VMEM comfortably,
-    output rows tile-aligned."""
+    output rows tile-aligned. Checks BOTH kernel orientations — the custom
+    VJP runs the same Pallas kernel with ci/co swapped (dx of a co>>ci
+    conv needs a dy input buffer scaling with co), so gating on the
+    forward alone could admit a shape whose backward exceeds VMEM.
+
+    dtype_bytes: element size of the activation dtype (2 for bf16, 4 for
+    f32) — the f32 buffers are twice the bf16 estimate."""
     if len(w_shape) != 4 or w_shape[0] != 3 or w_shape[1] != 3:
         return False
     b, h, wdt, ci = x_shape
@@ -110,7 +116,10 @@ def conv3x3_ok(x_shape, w_shape) -> bool:
         return False
     if (h * (wdt + 2)) % 8:
         return False
-    return _vmem_bytes(h, wdt, ci, _co_tile(co)) < 64 * 1024 * 1024
+    budget = 64 * 1024 * 1024
+    return (_vmem_bytes(h, wdt, ci, _co_tile(co), dtype_bytes) < budget
+            and _vmem_bytes(h, wdt, co, _co_tile(ci), dtype_bytes)
+            < budget)
 
 
 @jax.custom_vjp
@@ -123,15 +132,10 @@ def _conv3x3_fwd(x, w):
     return _conv3x3_pallas(x, w), (x, w)
 
 
-def _conv3x3_bwd(res, dy):
-    x, w = res
-    # dx: full correlation with the spatially flipped, in/out-transposed
-    # kernel — the same kernel formulation.
-    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
-    dx = _conv3x3_pallas(dy.astype(x.dtype), w_t).astype(x.dtype)
-
-    # dw[di, dj] = x_shifted(di, dj)^T @ dy (nine MXU matmuls; DCE'd when
-    # parameter grads are unused)
+def _dw_taps(x, dy, w_dtype):
+    """dw[di, dj] = x_shifted(di, dj)^T @ dy — nine MXU matmuls (XLA;
+    dead-code-eliminated when only input grads are needed). Shared by
+    every conv VJP here (Pallas, hybrid, taps)."""
     b, h, wdt, ci = x.shape
     co = dy.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -142,8 +146,16 @@ def _conv3x3_bwd(res, dy):
             xs = xp[:, di:di + h, dj:dj + wdt, :].reshape(b * h * wdt, ci)
             taps.append(jnp.dot(xs.T, dyf,
                                 preferred_element_type=jnp.float32))
-    dw = jnp.stack(taps).reshape(3, 3, ci, co).astype(w.dtype)
-    return dx, dw
+    return jnp.stack(taps).reshape(3, 3, ci, co).astype(w_dtype)
+
+
+def _conv3x3_bwd(res, dy):
+    x, w = res
+    # dx: full correlation with the spatially flipped, in/out-transposed
+    # kernel — the same kernel formulation.
+    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv3x3_pallas(dy.astype(x.dtype), w_t).astype(x.dtype)
+    return dx, _dw_taps(x, dy, w.dtype)
 
 
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
@@ -182,35 +194,27 @@ def conv3x3_taps(x, w, stride: int = 1):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     ho = (h + stride - 1) // stride
     wo = (wdt + stride - 1) // stride
+    # fp32 accumulation across the nine taps (the MXU accumulates each
+    # matmul in fp32 anyway; summing in the compute dtype would round 9x
+    # per conv instead of once, a systematic numerics gap vs XLA's convs)
     acc = None
     for di in range(3):
         for dj in range(3):
             xs = xp[:, di:di + h:stride, dj:dj + wdt:stride, :]
             xs = xs[:, :ho, :wo, :].reshape(b, ho * wo, ci)
-            t = jnp.einsum("bsc,cf->bsf", xs, w[di, dj])
+            t = jnp.einsum("bsc,cf->bsf", xs, w[di, dj],
+                           preferred_element_type=jnp.float32)
             acc = t if acc is None else acc + t
-    return acc.reshape(b, ho, wo, co)
+    return acc.reshape(b, ho, wo, co).astype(x.dtype)
 
 
 def _taps_dx_dw(x, w, dy):
     """Input/weight grads of a 3x3 SAME stride-1 conv in the row-major
     tap-matmul formulation (no conv ops, no Pallas)."""
-    b, h, wdt, ci = x.shape
-    co = dy.shape[-1]
     # dx: full correlation with the flipped, in/out-transposed kernel
     w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     dx = conv3x3_taps(dy.astype(x.dtype), w_t).astype(x.dtype)
-    # dw[di, dj] = x_shifted^T @ dy
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dyf = dy.reshape(b * h * wdt, co)
-    taps = []
-    for di in range(3):
-        for dj in range(3):
-            xs = xp[:, di:di + h, dj:dj + wdt, :].reshape(b * h * wdt, ci)
-            taps.append(jnp.dot(xs.T, dyf,
-                                preferred_element_type=jnp.float32))
-    dw = jnp.stack(taps).reshape(3, 3, ci, co).astype(w.dtype)
-    return dx, dw
+    return dx, _dw_taps(x, dy, w.dtype)
 
 
 @jax.custom_vjp

@@ -341,17 +341,8 @@ def _vjp_bwd(groups, eps, res, dy):
     dgn = dz * _silu_grad(xgn)
     dgamma = jnp.sum(dgn * xh, axis=(0, 1, 2)).astype(gamma.dtype)
     dbeta = jnp.sum(dgn, axis=(0, 1, 2)).astype(beta.dtype)
-    b, h, wdt, ci = x.shape
-    co = dy.shape[-1]
-    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dyf = dy.reshape(b * h * wdt, co).astype(x.dtype)
-    taps = []
-    for di in range(3):
-        for dj in range(3):
-            zs = zp[:, di:di + h, dj:dj + wdt, :].reshape(b * h * wdt, ci)
-            taps.append(jnp.dot(zs.T, dyf,
-                                preferred_element_type=jnp.float32))
-    dw = jnp.stack(taps).reshape(3, 3, ci, co).astype(w.dtype)
+    from diffusionhandles_tpu.ops.conv import _dw_taps
+    dw = _dw_taps(z, dy.astype(x.dtype), w.dtype)
     return dx, dgamma, dbeta, dw
 
 
