@@ -137,3 +137,62 @@ def test_output_proposals_validity_masking():
     np.testing.assert_allclose(props[idx], want, rtol=1e-6)
     # the coarse 2x2 level is fully interior
     assert valid[64 * 64:].all()
+
+
+@pytest.mark.slow
+def test_assembled_graph_parity_full_swint_ogc_config():
+    """Assembled-graph box+logit parity at the REAL swint_ogc configuration
+    (d_model=256, 6+6 layers, 900 queries, Swin-T backbone, bert-base
+    text encoder — GroundingDinoConfig's defaults ARE the release config),
+    converted weights, 224x224 input. Closes the round-3 gap that the
+    assembled oracle only ever ran at tiny shapes (reference capability:
+    test/estimate_foreground.py:18-42)."""
+    from diffusionhandles_tpu.models.groundingdino import GroundingDinoConfig
+
+    cfg = GroundingDinoConfig()
+    oracle = _oracle(cfg, seed=2)
+    state = {k: v.numpy() for k, v in oracle.state_dict_release().items()}
+    variables = convert_gdino(state)
+
+    rng = np.random.RandomState(7)
+    img = rng.randn(1, 3, 224, 224).astype(np.float32) * 0.5
+    ids = np.zeros((1, 16), np.int64)
+    ids[0, :9] = [101, 2005, 2003, 1012, 2044, 2051, 2060, 1012, 102]
+    valid = ids != 0
+    valid[:, 0] = True
+
+    with torch.no_grad():
+        t_logits, t_boxes = oracle(torch.from_numpy(img),
+                                   torch.from_numpy(ids),
+                                   torch.from_numpy(valid))
+    model = GroundingDinoModel(cfg)
+    j_logits, j_boxes = model.apply(
+        variables, jnp.asarray(np.moveaxis(img, 1, -1)),
+        jnp.asarray(ids.astype(np.int32)), jnp.asarray(valid))
+
+    # At random weights the encoder emits many EXACTLY-tied query-selection
+    # scores, and torch.topk / lax.top_k break ties differently, so the 900
+    # selected proposals come back as the same SET in a different row
+    # order. Compare under the optimal row assignment (boxes + logits must
+    # match under ONE permutation); deeper graph than the tiny config ->
+    # slightly looser float32 budget.
+    from scipy.optimize import linear_sum_assignment
+
+    jb = np.asarray(j_boxes)[0]
+    tb = t_boxes.numpy()[0]
+    jl = np.asarray(j_logits)[0]
+    tl = t_logits.numpy()[0]
+    cost = np.linalg.norm(tb[:, None, :] - jb[None, :, :], axis=-1)
+    rows, perm = linear_sum_assignment(cost)
+    assert (rows == np.arange(len(tb))).all()
+    np.testing.assert_allclose(jb[perm], tb, atol=1e-3, rtol=2e-3)
+    finite = np.isfinite(tl)
+    assert (np.isfinite(jl[perm]) == finite).all()
+    np.testing.assert_allclose(jl[perm][finite], tl[finite], atol=1e-3,
+                               rtol=2e-3)
+    # the permutation must only deviate from identity where it is
+    # score-invisible: permuted rows carry identical logits
+    moved = perm != np.arange(len(perm))
+    if moved.any():
+        np.testing.assert_allclose(jl[moved], jl[perm][moved],
+                                   atol=1e-3, rtol=2e-3)
