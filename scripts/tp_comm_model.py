@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Analytic per-step communication model for tensor parallelism.
+
+Compiles the FULL-SHAPE SD-2-depth U-Net forward and forward+backward
+(guidance-style gradient) at model_parallel=2 on a virtual CPU mesh, walks
+the compiled HLO for collective ops (all-reduce / all-gather /
+reduce-scatter / collective-permute), and totals the bytes each moves over
+the 'model' mesh axis. From those bytes and the v5e ICI link bandwidth it
+predicts the TP=2 per-step time and speedup — making the multi-chip claim
+falsifiable before multi-chip hardware exists (VERDICT round-3 ask #8).
+
+Model (stated assumptions, 2-device ring):
+  * all-reduce of S bytes: each device sends 2*(n-1)/n * S = S bytes (n=2).
+  * all-gather / reduce-scatter of S-byte result: (n-1)/n * S = S/2 bytes.
+  * collective-permute of S bytes: S bytes.
+  * v5e ICI: ~45 GB/s one-way per link (public "How to Scale Your Model"
+    tables); a TP=2 neighbor pair uses one link pair, both directions
+    concurrently, so comm_time ~= bytes_sent_per_device / 45e9.
+  * compute halves perfectly (TP=2 splits every matmul's FLOPs); the
+    single-chip fwd+bwd baseline comes from BENCH/PERFORMANCE microbenches.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=2 \
+       python scripts/tp_comm_model.py
+"""
+import json
+import os
+import pathlib
+import re
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8, "u64": 8}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute")
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Total bytes of a (possibly tuple) HLO shape string."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collect_collectives(hlo_text: str):
+    """[(op_kind, result_bytes)] for every collective in the module
+    (fusion-instruction bodies included — collectives never fuse)."""
+    out = []
+    for line in hlo_text.splitlines():
+        line = line.strip()
+        m = re.match(r"%?[\w.\-]+ = (\([^)]*\)|[\w\[\],]+) "
+                     r"(all-reduce|all-gather|reduce-scatter|"
+                     r"collective-permute)(-start)?\(", line)
+        if m:
+            out.append((m.group(2), _shape_bytes(m.group(1))))
+    return out
+
+
+def bytes_sent_per_device(kind: str, result_bytes: int, n: int = 2) -> int:
+    if kind == "all-reduce":
+        return int(2 * (n - 1) / n * result_bytes)
+    if kind in ("all-gather", "reduce-scatter"):
+        return int((n - 1) / n * result_bytes)
+    return result_bytes  # collective-permute
+
+
+def main():
+    from diffusionhandles_tpu.models.unet import UNetConfig, init_unet_params
+    from diffusionhandles_tpu.parallel.mesh import make_mesh
+    from diffusionhandles_tpu.parallel.sharding import (shard_params,
+                                                        unet_param_spec)
+
+    cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
+                     param_dtype=jnp.bfloat16, flash_attention=False,
+                     remat=False, pallas_conv=False)
+    model, params = init_unet_params(cfg, seed=0)
+    mesh = make_mesh(2, model_parallel=2)
+    params_tp = shard_params(params, mesh)
+
+    r = cfg.sample_size
+    x = jnp.zeros((1, r, r, cfg.in_channels), jnp.float32)
+    ctx = jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.float32)
+    t = jnp.int32(17)
+
+    def fwd(p, xx, cc):
+        eps, acts, _ = model.apply(p, xx, t, cc)
+        return eps
+
+    def loss(cc, p, xx):
+        eps, acts, _ = model.apply(p, xx, t, cc)
+        return jnp.mean(eps.astype(jnp.float32) ** 2)
+
+    report = {}
+    with mesh:
+        for name, fn, args in (
+                ("forward", fwd, (params_tp, x, ctx)),
+                ("forward+backward", jax.grad(loss),
+                 (ctx, params_tp, x))):
+            compiled = jax.jit(fn).lower(*args).compile()
+            colls = collect_collectives(compiled.as_text())
+            per_kind = {}
+            total_sent = 0
+            for kind, rbytes in colls:
+                sent = bytes_sent_per_device(kind, rbytes)
+                k = per_kind.setdefault(kind, [0, 0])
+                k[0] += 1
+                k[1] += sent
+                total_sent += sent
+            report[name] = {
+                "collectives": {k: {"count": v[0], "bytes_sent": v[1]}
+                                for k, v in per_kind.items()},
+                "total_count": len(colls),
+                "total_bytes_sent_per_device": total_sent,
+            }
+            print(f"{name}: {len(colls)} collectives, "
+                  f"{total_sent / 1e6:.1f} MB sent/device")
+            for k, v in sorted(per_kind.items()):
+                print(f"  {k:>20}: {v[0]:3d} ops, {v[1] / 1e6:8.2f} MB")
+
+    # Predicted v5e TP=2 step time: compute halves; comm rides one ICI
+    # link pair at 45 GB/s one-way. Baselines: measured single-chip
+    # microbench (PERFORMANCE.md / scripts/microbench_scan.py).
+    ici_bw = 45e9
+    base = {"forward": 8.91e-3, "forward+backward": 19.58e-3}
+    pred = {}
+    for name, b in base.items():
+        comm_s = report[name]["total_bytes_sent_per_device"] / ici_bw
+        # Conservative: no compute/comm overlap (XLA does overlap async
+        # collectives, so this is a lower bound on speedup).
+        t2 = b / 2 + comm_s
+        pred[name] = {
+            "single_chip_s": b, "comm_s": round(comm_s, 6),
+            "predicted_tp2_s": round(t2, 6),
+            "predicted_speedup": round(b / t2, 3),
+        }
+        print(f"{name}: single-chip {b * 1e3:.2f} ms -> predicted TP=2 "
+              f"{t2 * 1e3:.2f} ms (comm {comm_s * 1e3:.2f} ms, "
+              f"speedup {b / t2:.2f}x, no-overlap lower bound)")
+
+    out = {"mesh": {"data": 1, "model": 2}, "assumptions": {
+        "ici_one_way_bytes_per_s": ici_bw,
+        "allreduce_bytes_factor_n2": 1.0,
+        "no_compute_comm_overlap": True}, "hlo": report,
+        "prediction": pred}
+    path = pathlib.Path(__file__).resolve().parents[1] / "artifacts" / \
+        "tp_comm_model.json"
+    path.parent.mkdir(exist_ok=True)
+    path.write_text(json.dumps(out, indent=2))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
