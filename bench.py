@@ -55,6 +55,22 @@ def make_sample(res: int):
                 fg_mask=fg.astype(np.float32)[None, None])
 
 
+def _block(*trees):
+    """Drain pending device work before reading a phase timer. The facade
+    returns unrealized device arrays (production stays async); without this
+    barrier step 1's device work drains inside step 2's timer and the phase
+    table is noise (timing-only — the production path is untouched).
+    jax.block_until_ready can lie through the axon device tunnel (verified
+    round 2), so sync by reducing each device leaf to a scalar and pulling
+    it; a full np.asarray would time the ~35 MB/s tunnel instead."""
+    import jax
+    import jax.numpy as jnp
+    for tree in trees:
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "devices"):
+                float(jnp.sum(jnp.abs(leaf.ravel()[:1])))
+
+
 def run_edit(handles, sample, prompt="a toy cube on a table"):
     t0 = time.perf_counter()
     null_text_emb, init_noise = handles.invert_input_image(
@@ -62,9 +78,11 @@ def run_edit(handles, sample, prompt="a toy cube on a table"):
     null_text_emb, init_noise, activations, latent_image = \
         handles.generate_input_image(sample["depth"], prompt, null_text_emb,
                                      init_noise)
+    _block(null_text_emb, init_noise, activations, latent_image)
     t1 = time.perf_counter()
     bg_depth = handles.set_foreground(sample["depth"], sample["fg_mask"],
                                       sample["bg_depth"])
+    _block(bg_depth)
     t2 = time.perf_counter()
     edited_img, edited_disparity = handles.transform_foreground(
         depth=sample["depth"], prompt=prompt, fg_mask=sample["fg_mask"],

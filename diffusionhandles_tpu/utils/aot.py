@@ -28,6 +28,7 @@ import hashlib
 import os
 import pathlib
 import pickle
+import time
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -370,18 +371,31 @@ class AotStore:
         records = [r for r in records if rank(r[1]) < len(order)]
         records.sort(key=lambda r: rank(r[1]))
 
+        debug = os.environ.get("DIFFHANDLES_AOT_DEBUG")
+        t_origin = time.perf_counter()
+
         def worker():
             for key, name, avals in records:
+                t_load0 = time.perf_counter()
                 compiled = self._load_claimed(key)
                 if compiled is None:
                     continue
+                t_load1 = time.perf_counter()
                 try:
                     dummies = _dummy_args(avals)
+                    # first execution triggers the device-runtime program
+                    # upload; its duration IS the upload timeline entry
                     out = compiled(*dummies)
                     jax.block_until_ready(out)
+                    t_exec1 = time.perf_counter()
                     self.stats["prefetched"] += 1
-                    if os.environ.get("DIFFHANDLES_AOT_DEBUG"):
-                        print(f"[aot] prefetched {name}", flush=True)
+                    if debug:
+                        print(f"[aot-timeline] {name}: deserialize "
+                              f"{t_load0 - t_origin:.1f}-"
+                              f"{t_load1 - t_origin:.1f}s, first-exec "
+                              f"(upload) {t_load1 - t_origin:.1f}-"
+                              f"{t_exec1 - t_origin:.1f}s "
+                              f"({t_exec1 - t_load1:.1f}s)", flush=True)
                 except Exception:
                     self.stats["errors"] += 1
 
