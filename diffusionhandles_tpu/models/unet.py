@@ -91,7 +91,7 @@ def _conv3_impl(mode) -> str:
         # "fused" fuses the resnet GN+SiLU+conv halves (ops/gn_conv.py);
         # every other conv stays in the row-major tap-matmul form.
         return "taps"
-    if mode in ("hybrid", "taps", "mixed"):
+    if mode in ("hybrid", "taps", "mixed", "im2col"):
         return mode
     return "pallas"
 
@@ -160,6 +160,10 @@ class Conv3x3(nn.Module):
                           (self.features,), self.param_dtype)
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
+        if self.impl == "im2col":
+            from diffusionhandles_tpu.ops.conv import conv3x3_im2col
+            return (conv3x3_im2col(xd, kd, self.stride)
+                    + bias.astype(self.dtype))
         if (self.impl != "taps" and self.stride == 1
                 and conv3x3_ok(xd.shape, kernel.shape,
                                dtype_bytes=jnp.dtype(self.dtype).itemsize)):
@@ -468,7 +472,7 @@ class Downsample(nn.Module):
         # always evaluates stride 2 in the taps form (the Pallas kernel is
         # stride-1 only) so the layout stays [B, S, C]; other modes keep
         # XLA's stride-2 conv
-        if self.pallas_conv in ("flat", "taps", "fused"):
+        if self.pallas_conv in ("flat", "taps", "fused", "im2col"):
             return Conv3x3(self.channels, dtype=self.dtype,
                            param_dtype=self.param_dtype, stride=2,
                            impl=_conv3_impl(self.pallas_conv),
@@ -657,7 +661,7 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(dtype)
         sample = sample.astype(dtype)
 
-        if cfg.pallas_conv in ("flat", "taps", "fused"):
+        if cfg.pallas_conv in ("flat", "taps", "fused", "im2col"):
             x = Conv3x3(cfg.block_out_channels[0], dtype=dtype,
                         param_dtype=cfg.param_dtype,
                         impl=_conv3_impl(cfg.pallas_conv),
@@ -735,7 +739,7 @@ class UNet2DCondition(nn.Module):
                          dtype=jnp.float32, param_dtype=cfg.param_dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(dtype)
-        if cfg.pallas_conv in ("flat", "taps", "fused"):
+        if cfg.pallas_conv in ("flat", "taps", "fused", "im2col"):
             eps = Conv3x3(cfg.out_channels, dtype=jnp.float32,
                           param_dtype=cfg.param_dtype,
                           impl=_conv3_impl(cfg.pallas_conv),

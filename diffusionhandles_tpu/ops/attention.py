@@ -112,6 +112,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len,
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q, _LANES))
 
 
+def _flash_onepass_fold_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                               head_dim):
+    """One-pass forward with the softmax denominator FOLDED into the p@v
+    matmul: v arrives augmented with a ones column (v_aug[:, d] = 1), so
+    acc_aug = p @ v_aug yields both the weighted values (cols :d) and the
+    row sum l (col d) from one MXU pass — removing the [block_q, sk]
+    VPU sum-reduce. l is then the sum of the SAME bf16-rounded p the value
+    matmul consumes (the unfolded kernel sums f32 p but multiplies bf16 p),
+    so the fold is a consistency fix as much as a speed one."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]                            # [sk, d+1(+pad)]
+    s = _dot_nt(q, k)                       # [block_q, sk] fp32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    l = acc[:, head_dim:head_dim + 1]
+    o_ref[0] = (acc[:, :head_dim] / l).astype(o_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), lse_ref[0].shape)
+
+
 def _flash_onepass_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
     """Plain softmax attention for one query block against the WHOLE KV
     range: no running max/denominator carry, one exp sweep, no alpha
@@ -159,7 +180,8 @@ def _fwd_blocks(sq: int, sk: int, block_q: int = 2048,
     return bq, bk
 
 
-def _flash_fwd_impl(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
+def _flash_fwd_impl(q, k, v, block_q: int = 2048, block_k: int = 1 << 20,
+                    fold: bool = True):
     """Returns (out [B,S,H,D], lse [B*H, S])."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -170,9 +192,18 @@ def _flash_fwd_impl(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
     kt = jnp.transpose(k, (0, 2, 1, 3)).reshape(b * h, sk, d)
     vt = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, sk, d)
 
-    kernel = (_flash_onepass_kernel if block_k == sk
-              else functools.partial(_flash_kernel, kv_len=sk,
-                                     block_k=block_k))
+    fold = fold and block_k == sk
+    dv = d + 1 if fold else d
+    if fold:
+        # ones column: the p@v_aug matmul emits the softmax denominator
+        # (see _flash_onepass_fold_kernel)
+        vt = jnp.concatenate([vt, jnp.ones((b * h, sk, 1), v.dtype)],
+                             axis=-1)
+        kernel = functools.partial(_flash_onepass_fold_kernel, head_dim=d)
+    else:
+        kernel = (_flash_onepass_kernel if block_k == sk
+                  else functools.partial(_flash_kernel, kv_len=sk,
+                                         block_k=block_k))
     out, lse = pl.pallas_call(
         kernel,
         grid=(b * h, sq // block_q),
@@ -181,7 +212,7 @@ def _flash_fwd_impl(q, k, v, block_q: int = 2048, block_k: int = 1 << 20):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, sk, dv), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -341,8 +372,119 @@ def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_fused_impl(q, k, v, o, lse, do, block_q: int = 1024,
-                          block_k: int = 1024):
+def _flash_bwd_fused_fold_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                                 dq_ref, dk_ref, dv_ref, *, q_len,
+                                 block_q, head_dim):
+    """Fused backward with the delta subtraction FOLDED into the dp matmul:
+    do arrives augmented with two columns [-delta_hi, -delta_lo] (bf16
+    hi/lo split of the f32 delta) and v with two ones columns, so
+    dp_adj = do_aug @ v_aug.T = do @ v.T - delta in one MXU pass — removing
+    the [block_q, block_k] VPU broadcast-subtract. The d=64 contraction
+    underfills the 128-deep MXU anyway, so the two extra columns ride the
+    same pass."""
+    k = k_ref[0]
+    v = v_ref[0]                               # [block_k, d+2(+pad)]
+    block_k = k.shape[0]
+    d = head_dim
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do_aug = do_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_aug[:, :d]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :1]
+        s = _dot_nt(q, k)
+        p = jnp.exp(s - lse)                       # [block_q, block_k]
+        dv = dv + _dot_tn(p.astype(do.dtype), do)
+        dp_adj = _dot_nt(do_aug, v)                # = do @ v[:, :d].T - delta
+        ds = (p * dp_adj).astype(q.dtype)
+        dk = dk + _dot_tn(ds, q)
+        dq_ref[0, pl.ds(i * block_q, block_q), :] += jnp.dot(
+            ds, k, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, q_len // block_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_fused_fold_impl(q, k, v, o, lse, do, block_q: int = 1024,
+                               block_k: int = 1024):
+    """Delta-folded fused backward (see _flash_bwd_fused_fold_kernel).
+    v_aug carries ones in BOTH extra columns; do_aug carries the bf16
+    hi/lo split of -delta, so the matmul accumulates
+    -delta_hi - delta_lo = -delta to ~f32 precision in the MXU's f32
+    accumulator despite bf16 operands."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    scale = 1.0 / math.sqrt(d)
+    tr = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1],
+                                                          d)
+    qt, kt, vt, dot = tr(q), tr(k), tr(v), tr(do)
+    qt = (qt.astype(jnp.float32) * scale).astype(q.dtype)
+    delta = jnp.sum(dot.astype(jnp.float32)
+                    * tr(o).astype(jnp.float32), axis=-1,
+                    keepdims=True)                     # [bh, sq, 1] f32
+    d_hi = (-delta).astype(do.dtype)
+    d_lo = (-delta - d_hi.astype(jnp.float32)).astype(do.dtype)
+    do_aug = jnp.concatenate([dot, d_hi, d_lo], axis=-1)   # [bh, sq, d+2]
+    ones = jnp.ones((b * h, sk, 2), v.dtype)
+    v_aug = jnp.concatenate([vt, ones], axis=-1)           # [bh, sk, d+2]
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_fused_fold_kernel, q_len=sq,
+                          block_q=block_q, head_dim=d),
+        grid=(b * h, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d + 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, d + 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, _LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk, d), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
+    )(qt, kt, v_aug, do_aug, lse)
+    dq = (dq * scale).astype(q.dtype)
+
+    untr = lambda x: jnp.transpose(
+        x.reshape(b, h, x.shape[1], d), (0, 2, 1, 3))
+    return untr(dq), untr(dk), untr(dv)
+
+
+def _flash_bwd_fused_impl(q, k, v, o, lse, do, block_q: int = 2048,
+                          block_k: int = 2048):
+    # 2048/2048 probe-best on v5e (1411 us vs 1426 us at 1024/1024,
+    # s=4096; equal at s=1024); blocks clamp to the sequence below.
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
@@ -504,11 +646,17 @@ def _fa_fwd(q, k, v):
 def _fa_bwd(res, do):
     q, k, v, o, lse = res
     import os
-    # fused single-sweep is the measured-best default (U-Net fwd+bwd scan:
-    # 21.07 -> 19.98 ms/step vs the two-pass kernels); the two-pass
-    # formulation stays available for A/B measurement.
-    if os.environ.get("DIFFHANDLES_FLASH_BWD") == "twopass":
+    # fused single-sweep is the measured-best default (probe_attention on
+    # v5e: 1411 us vs 1428 us delta-FOLD vs 1846 us twopass at s=4096;
+    # the delta-fold trades the VPU broadcast-subtract for two extra MXU
+    # columns but measured NEUTRAL-to-worse — the [bq,bk] subtract was
+    # already hidden behind the matmuls). Both alternates stay available
+    # for A/B measurement (DIFFHANDLES_FLASH_BWD=fold|twopass).
+    mode = os.environ.get("DIFFHANDLES_FLASH_BWD")
+    if mode == "twopass":
         return _flash_bwd_impl(q, k, v, o, lse, do)
+    if mode == "fold":
+        return _flash_bwd_fused_fold_impl(q, k, v, o, lse, do)
     return _flash_bwd_fused_impl(q, k, v, o, lse, do)
 
 

@@ -208,6 +208,71 @@ def conv3x3_taps(x, w, stride: int = 1):
     return acc.reshape(b, ho, wo, co).astype(x.dtype)
 
 
+def _im2col(x, stride: int = 1):
+    """Row-major im2col: [B, H, W, Ci] -> [B, Ho*Wo, 9*Ci] with tap-major
+    channel order (index = tap*Ci + ci, matching w.reshape(9*Ci, Co))."""
+    b, h, wdt, ci = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ho = (h + stride - 1) // stride
+    wo = (wdt + stride - 1) // stride
+    cols = []
+    for di in range(3):
+        for dj in range(3):
+            xs = xp[:, di:di + h:stride, dj:dj + wdt:stride, :]
+            cols.append(xs[:, :ho, :wo, :].reshape(b, ho * wo, ci))
+    return jnp.concatenate(cols, axis=-1), (ho, wo)
+
+
+def _conv3x3_im2col(x, w, stride: int = 1):
+    """3x3 SAME conv as ONE row-major matmul on the materialized patch
+    matrix: [B, S, 9*Ci] @ [9*Ci, Co]. vs conv3x3_taps (nine matmuls
+    accumulated in fp32): trades the 8 accumulator round-trips through HBM
+    for one 9x activation materialization, and feeds the MXU a deep
+    (9*Ci) contraction instead of nine shallow ones."""
+    b = x.shape[0]
+    co = w.shape[-1]
+    ci = x.shape[-1]
+    x9, (ho, wo) = _im2col(x, stride)
+    y = jnp.einsum("bsc,cf->bsf", x9, w.reshape(9 * ci, co),
+                   preferred_element_type=jnp.float32)
+    return y.reshape(b, ho, wo, co).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_im2col(x, w, stride: int = 1):
+    """Differentiable im2col conv: both gradient directions are themselves
+    single im2col matmuls (dx = im2col(dy) @ rot(w); dw = im2col(x)^T @ dy),
+    so the whole grad graph stays row-major with one matmul per direction."""
+    return _conv3x3_im2col(x, w, stride)
+
+
+def _im2col_fwd(x, w, stride):
+    return _conv3x3_im2col(x, w, stride), (x, w)
+
+
+def _im2col_bwd(stride, res, dy):
+    x, w = res
+    if stride != 1:
+        # stride-2 convs (downsamplers) keep the taps-form gradients
+        dx, dw = jax.vjp(lambda xx, ww: conv3x3_taps(xx, ww, stride),
+                         x, w)[1](dy)
+        return dx, dw
+    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv3x3_im2col(dy.astype(x.dtype), w_t).astype(x.dtype)
+    # dw: one [9*Ci, S] x [S, Co] matmul on the recomputed patch matrix
+    # (dead-code-eliminated when only input grads are needed).
+    b, h, wdt, ci = x.shape
+    co = dy.shape[-1]
+    x9, _ = _im2col(x)
+    dw = jax.lax.dot_general(
+        x9.reshape(b * h * wdt, 9 * ci), dy.reshape(b * h * wdt, co),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return dx, dw.reshape(3, 3, ci, co).astype(w.dtype)
+
+
+conv3x3_im2col.defvjp(_im2col_fwd, _im2col_bwd)
+
+
 def _taps_dx_dw(x, w, dy):
     """Input/weight grads of a 3x3 SAME stride-1 conv in the row-major
     tap-matmul formulation (no conv ops, no Pallas)."""

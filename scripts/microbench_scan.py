@@ -43,6 +43,8 @@ def main():
         pallas = "mm1x1"
     if "--taps" in sys.argv:
         pallas = "taps"
+    if "--im2col" in sys.argv:
+        pallas = "im2col"
     if "--mixed" in sys.argv:
         pallas = "mixed"
     if "--fused" in sys.argv:

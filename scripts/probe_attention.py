@@ -22,7 +22,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax
 import jax.numpy as jnp
 import numpy as np
-from diffusionhandles_tpu.ops.attention import (_flash_bwd_fused_impl,
+from diffusionhandles_tpu.ops.attention import (_flash_bwd_fused_fold_impl,
+                                                _flash_bwd_fused_impl,
                                                 _flash_bwd_impl,
                                                 _flash_fwd_impl)
 
@@ -72,6 +73,10 @@ def main():
              lambda q, k, v: _flash_fwd_impl(q, k, v, 2048, 2048)[0]),
             ("fwd bq2048/bk=whole (default)",
              lambda q, k, v: _flash_fwd_impl(q, k, v)[0]),
+            ("fwd bq2048 NOfold",
+             lambda q, k, v: _flash_fwd_impl(q, k, v, fold=False)[0]),
+            ("fwd bq1024 fold",
+             lambda q, k, v: _flash_fwd_impl(q, k, v, 1024)[0]),
         ]:
             try:
                 per, comp = time_scan(fwd, q, k, v)
@@ -91,6 +96,15 @@ def main():
             dq, dk, dv = grads
             return dq + dk + dv
         for name, bwd in [
+            ("bwd FOLD bq1024/bk1024",
+             lambda do_, o_=o, lse_=lse: all3(_flash_bwd_fused_fold_impl(
+                 q, k, v, o_, lse_, do_, 1024, 1024))),
+            ("bwd FOLD bq2048/bk2048",
+             lambda do_, o_=o, lse_=lse: all3(_flash_bwd_fused_fold_impl(
+                 q, k, v, o_, lse_, do_, 2048, 2048))),
+            ("bwd FOLD bq1024/bk2048",
+             lambda do_, o_=o, lse_=lse: all3(_flash_bwd_fused_fold_impl(
+                 q, k, v, o_, lse_, do_, 1024, 2048))),
             ("bwd fused bq1024/bk1024",
              lambda do_, o_=o, lse_=lse: all3(_flash_bwd_fused_impl(
                  q, k, v, o_, lse_, do_, 1024, 1024))),
