@@ -58,7 +58,9 @@ class UNetConfig:
     freq_shift: int = 0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    remat: bool = False
+    # False | True (full block recompute) | 'dots' (save matmul outputs,
+    # recompute elementwise chains — see the remat wiring below).
+    remat: Any = False
     # Use the Pallas flash-attention kernel for long self-attention
     # sequences (>=512 tokens); short cross-attention stays dense.
     flash_attention: bool = False
@@ -671,10 +673,21 @@ class UNet2DCondition(nn.Module):
                         dtype=dtype, param_dtype=cfg.param_dtype,
                         name="conv_in")(sample)
 
-        down_cls = nn.remat(DownBlock, static_argnums=(4,)) if cfg.remat \
-            else DownBlock
-        up_cls = nn.remat(UpBlock, static_argnums=(5,)) if cfg.remat \
-            else UpBlock
+        if cfg.remat:
+            # remat='dots' saves matmul outputs and recomputes the
+            # elementwise chains (GN/SiLU/adds) in the backward — under
+            # the taps conv mode the graph is all matmuls, so this trades
+            # a little VPU recompute for the stored-intermediate HBM
+            # traffic the backward otherwise rereads. remat=True is the
+            # classic full-block recompute (memory floor, measured ~3x
+            # fwd instead of ~2.2x).
+            policy = (jax.checkpoint_policies.dots_saveable
+                      if cfg.remat == "dots" else None)
+            down_cls = nn.remat(DownBlock, static_argnums=(4,),
+                                policy=policy)
+            up_cls = nn.remat(UpBlock, static_argnums=(5,), policy=policy)
+        else:
+            down_cls, up_cls = DownBlock, UpBlock
 
         skips = [x]
         attn_down = []

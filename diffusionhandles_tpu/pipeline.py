@@ -50,14 +50,18 @@ class DiffusionHandles:
             self.diffuser,
             guidance_scale=conf.guided_diffuser.guidance_scale)
         self.img_res = self.diffuser.image_res
-        # Fresh-process cold start: begin uploading the stored compiled
-        # executables to the device in pipeline order while the caller is
-        # still preparing inputs / running step 1 (utils/aot.py; no-op on
-        # CPU, with an empty store, or when DIFFHANDLES_AOT_PREFETCH=0).
+        # Fresh-process cold start: deserialize the stored compiled
+        # executables in pipeline order while the jitted model init runs,
+        # so each phase's first call only pays the device upload
+        # (utils/aot.py prefetch_async; measured decision matrix in
+        # PERFORMANCE.md "Cold start"). No-op on CPU, with an empty store,
+        # or when DIFFHANDLES_AOT_PREFETCH=0; =exec restores the round-3
+        # dummy-execution upload prefetch (measured net loss).
         import os
-        if os.environ.get("DIFFHANDLES_AOT_PREFETCH", "1") != "0":
+        mode = os.environ.get("DIFFHANDLES_AOT_PREFETCH", "1")
+        if mode != "0":
             from diffusionhandles_tpu.utils.aot import AotStore
-            AotStore.default().prefetch_async()
+            AotStore.default().prefetch_async(execute=(mode == "exec"))
 
     def to(self, device=None):
         """Device placement shim (JAX manages placement; kept for parity

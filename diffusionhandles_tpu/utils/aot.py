@@ -52,22 +52,51 @@ def _is_aval(av) -> bool:
             and isinstance(av[1], str))
 
 
+_DUMMY_CACHE: Dict = {}
+_DUMMY_LOCK = None
+
+
 def _dummy_args(avals):
     """Zero-filled argument pytree from an _arg_avals record (for
-    prefetch-time first executions)."""
-    return jax.tree.map(lambda av: jnp_zeros(av) if _is_aval(av) else av,
-                        avals, is_leaf=_is_aval)
+    prefetch-time first executions). Buffers are SHARED process-wide per
+    (shape, dtype): the pipeline's scan programs all take the same ~1.7 GB
+    U-Net parameter tree, and per-call zero trees from concurrent prefetch
+    exec threads blew HBM (measured round 4: RESOURCE_EXHAUSTED with two
+    in flight next to the live model + warmup edit). Safe because no
+    pipeline program donates its inputs — dummies are read-only."""
+    global _DUMMY_LOCK
+    import threading
+    if _DUMMY_LOCK is None:
+        _DUMMY_LOCK = threading.Lock()
+
+    def leaf(av):
+        if not _is_aval(av):
+            return av
+        with _DUMMY_LOCK:
+            got = _DUMMY_CACHE.get(av)
+            if got is None:
+                got = _DUMMY_CACHE[av] = jnp_zeros(av)
+        return got
+
+    return jax.tree.map(leaf, avals, is_leaf=_is_aval)
 
 
 # Modules that define the jitted compute graphs this store serializes.
 # Editing any of them invalidates every stored executable; unrelated modules
-# (services, testset, aux models) don't churn the cache.
+# (services, testset, aux models) don't churn the cache. This file itself is
+# deliberately NOT in the list — the serialized executables don't depend on
+# the store/prefetch logic; _FORMAT_VERSION below invalidates on real
+# record-format changes instead (learned round 4: every prefetch tweak cost
+# a ~20 min full recompile).
 _COMPUTE_PATH = (
     "diffuser.py", "inverter.py", "scheduler.py", "guidance.py",
     "models/unet.py", "models/vae.py", "models/clip_text.py",
     "ops/attention.py", "ops/conv.py", "ops/resize.py",
-    "parallel/batch.py", "parallel/sharding.py", "utils/aot.py",
+    "parallel/batch.py", "parallel/sharding.py",
 )
+
+# Bump when the pickled .aot record layout changes.
+_FORMAT_VERSION = 1
 
 
 def _package_code_hash() -> str:
@@ -167,8 +196,8 @@ class AotStore:
         if self._code_hash is None:
             self._code_hash = _package_code_hash()
             self._gc()
-        raw = f"{self._code_hash}|{_device_fingerprint()}|{name}|" \
-              f"{_aval_sig(args)}"
+        raw = f"{self._code_hash}|{_FORMAT_VERSION}|" \
+              f"{_device_fingerprint()}|{name}|{_aval_sig(args)}"
         # the code hash prefixes the filename so stale generations are
         # recognizable and collectable
         return (self._code_hash + "-"
@@ -321,18 +350,33 @@ class AotStore:
 
     def prefetch_async(self, order=("text_apply", "vae_encode",
                                     "ddim_loop", "null_opt", "initial",
-                                    "vae_decode", "guided")):
-        """Load + device-upload every stored executable of the current code
-        generation in a background thread, in pipeline order.
+                                    "vae_decode", "guided:",
+                                    "guided_batched"),
+                       max_concurrent: int = 2, execute: bool = False):
+        """Deserialize every stored executable of the current code
+        generation in a background thread, in pipeline order, so the
+        host-side `deserialize_and_load` (~30-100 s for the ~2.9 GB of
+        pipeline executables, page-cache dependent) overlaps the jitted
+        model init instead of blocking each phase's first call. Loaded
+        executables are handed to wrap()'s call path via self._loaded
+        (no double deserialize).
 
-        The device runtime uploads a program at its FIRST execution (round-2
-        accounting: ~250 s for the 7 pipeline programs through this
-        environment's TPU tunnel, serialized with nothing else to do). This
-        runs each program once with zero-filled dummy arguments while the
-        real step-1 work executes, so uploads overlap host-side work and
-        earlier device executions instead of blocking the user's first edit
-        at each phase boundary. Loaded executables are handed to wrap()'s
-        call path via self._loaded (no double deserialize).
+        `execute=True` additionally runs each program once with shared
+        zero-filled dummy arguments to trigger the device runtime's
+        first-execution program upload early (exec threads bounded by
+        `max_concurrent`). This is OFF by default — measured round 4
+        (full decision matrix in PERFORMANCE.md "Cold start"): on-demand
+        uploads with no device contention gave the best cold start
+        (266.8 s) vs 325 s for the round-3 sequential dummy-exec worker
+        and 477 s for concurrent dummy execs — first-executions DO
+        parallelize on an idle device (26.3 s vs 132.7 s sequential in a
+        controlled two-program probe), but any dummy exec racing the real
+        pipeline convoys the device queue and loses more than the upload
+        overlap wins.
+
+        `order` entries are name prefixes; "guided:" (single-edit) ranks
+        ahead of "guided_batched" so the first edit's program is resident
+        first.
         """
         import threading
 
@@ -373,14 +417,11 @@ class AotStore:
 
         debug = os.environ.get("DIFFHANDLES_AOT_DEBUG")
         t_origin = time.perf_counter()
+        sem = threading.Semaphore(max_concurrent)
 
-        def worker():
-            for key, name, avals in records:
-                t_load0 = time.perf_counter()
-                compiled = self._load_claimed(key)
-                if compiled is None:
-                    continue
-                t_load1 = time.perf_counter()
+        def exec_one(name, compiled, avals, t_load0, t_load1):
+            with sem:
+                t_exec0 = time.perf_counter()
                 try:
                     dummies = _dummy_args(avals)
                     # first execution triggers the device-runtime program
@@ -388,16 +429,46 @@ class AotStore:
                     out = compiled(*dummies)
                     jax.block_until_ready(out)
                     t_exec1 = time.perf_counter()
-                    self.stats["prefetched"] += 1
+                    with self._claim_lock:
+                        self.stats["prefetched"] += 1
                     if debug:
                         print(f"[aot-timeline] {name}: deserialize "
                               f"{t_load0 - t_origin:.1f}-"
                               f"{t_load1 - t_origin:.1f}s, first-exec "
-                              f"(upload) {t_load1 - t_origin:.1f}-"
+                              f"(upload) {t_exec0 - t_origin:.1f}-"
                               f"{t_exec1 - t_origin:.1f}s "
-                              f"({t_exec1 - t_load1:.1f}s)", flush=True)
+                              f"({t_exec1 - t_exec0:.1f}s)", flush=True)
                 except Exception:
-                    self.stats["errors"] += 1
+                    with self._claim_lock:
+                        self.stats["errors"] += 1
+
+        def worker():
+            execs = []
+            for key, name, avals in records:
+                t_load0 = time.perf_counter()
+                compiled = self._load_claimed(key)
+                if compiled is None:
+                    continue
+                t_load1 = time.perf_counter()
+                if not execute:
+                    with self._claim_lock:
+                        self.stats["prefetched"] += 1
+                    if debug:
+                        print(f"[aot-timeline] {name}: deserialize "
+                              f"{t_load0 - t_origin:.1f}-"
+                              f"{t_load1 - t_origin:.1f}s (no dummy exec; "
+                              f"upload at first real call)", flush=True)
+                    continue
+                th = threading.Thread(
+                    target=exec_one,
+                    args=(name, compiled, avals, t_load0, t_load1),
+                    daemon=True, name=f"aot-exec-{name[:24]}")
+                th.start()
+                execs.append(th)
+            for th in execs:
+                th.join()
+            # release the shared dummy zero buffers (~1.7 GB of HBM)
+            _DUMMY_CACHE.clear()
 
         self._prefetch_thread = threading.Thread(target=worker,
                                                  daemon=True,

@@ -49,10 +49,16 @@ def main():
         pallas = "mixed"
     if "--fused" in sys.argv:
         pallas = "fused"
+    remat = False
+    if "--remat" in sys.argv:
+        remat = True
+    if "--remat-dots" in sys.argv:
+        remat = "dots"
     cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
                      param_dtype=jnp.bfloat16, flash_attention=True,
-                     remat=False, split_skip_conv=split, pallas_conv=pallas)
-    print(f"split={split} unroll={unroll} pallas={pallas}", flush=True)
+                     remat=remat, split_skip_conv=split, pallas_conv=pallas)
+    print(f"split={split} unroll={unroll} pallas={pallas} remat={remat}",
+          flush=True)
     unet, params = init_unet_params(cfg, seed=0)
     bsz = 2 if "--b2" in sys.argv else 1
     x1 = jnp.asarray(np.random.randn(bsz, 64, 64, 4), jnp.float32)
