@@ -44,6 +44,7 @@ from diffusionhandles_tpu.models.clip_text import (CLIPTextConfig,
 from diffusionhandles_tpu.models.tokenizer import load_tokenizer
 from diffusionhandles_tpu.models.unet import (UNet2DCondition, UNetConfig,
                                               init_unet_params,
+                                              maybe_prepare_unet_params,
                                               tiny_unet_config)
 from diffusionhandles_tpu.models.vae import (AutoencoderKL, VAEConfig,
                                              init_vae_params,
@@ -342,6 +343,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
         timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
 
         def run(unet_params, init_latents, depth64, uncond_seq, cond_emb):
+            unet_params = maybe_prepare_unet_params(unet_params)
             # uncond_seq: [T, 77, D]; cond_emb: [1, 77, D].
             def step(latents, xs):
                 step_idx, uncond_t = xs
@@ -446,6 +448,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
 
         def run(unet_params, init_latents, depth64, uncond_seq, cond_emb,
                 acts_orig, fgw, bgw, pc):
+            unet_params = maybe_prepare_unet_params(unet_params)
             # acts_orig: tuple of 3 [T, H, W, C]; fgw/bgw: [gms, opt, 3].
             def guided_step(latents, xs):
                 step_idx, uncond_t, acts_orig_t, fgw_t, bgw_t = xs

@@ -24,6 +24,8 @@ import optax
 
 from diffusionhandles_tpu.diffuser import (ACT_DTYPES,
                                            GuidedStableDiffuser)
+from diffusionhandles_tpu.models.unet import \
+    maybe_prepare_unet_params
 from diffusionhandles_tpu.scheduler import ddim_next_step, ddim_step
 from diffusionhandles_tpu.utils.aot import AotStore
 
@@ -69,6 +71,7 @@ class StableNullInverter(NullInverter):
         S = self.num_ddim_steps
 
         def run(unet_params, latent0, depth64, cond_emb):
+            unet_params = maybe_prepare_unet_params(unet_params)
             def step(latent, i):
                 # reference iterates t = timesteps[S - i - 1]
                 # (stable_null_inverter.py:118).
@@ -123,6 +126,7 @@ class StableNullInverter(NullInverter):
 
         def run(unet_params, latents_traj, depth64, uncond0, cond_emb,
                 epsilon):
+            unet_params = maybe_prepare_unet_params(unet_params)
             # latents_traj: [S+1, 1, h, w, 4] from ddim_loop.
             # Per-step target: latent_prev = latents[S - 1 - i]
             # (reference :144: latents[len(latents) - i - 2]).

@@ -183,14 +183,21 @@ def _hybrid_fwd(x, w):
 conv3x3_hybrid.defvjp(_hybrid_fwd, _conv3x3_bwd)
 
 
-def conv3x3_taps(x, w, stride: int = 1):
+def conv3x3_taps(x, w, stride: int = 1, taps=None):
     """3x3 SAME conv as nine shifted [S, Ci] @ [Ci, Co] matmuls in plain
     jnp (no Pallas): keeps activations in row-major [B, S, C] layouts so
     XLA's layout assignment never switches to conv layouts. Used for the
     small-channel layout anchors (conv_in / conv_out / downsample) when
-    the Pallas conv mode is on."""
+    the Pallas conv mode is on.
+
+    `taps` (optional): nine pre-sliced [Ci, Co] tap matrices in the
+    compute dtype, row-major tap order. XLA does not hoist loop-invariant
+    slices out of lax.scan bodies, so slicing `w[di, dj]` here costs an
+    HBM->HBM copy EVERY denoising step (~0.8 ms/step in the fwd+bwd
+    device trace); callers hoist it with models.unet.prepare_unet_params
+    and pass the slices in."""
     b, h, wdt, ci = x.shape
-    co = w.shape[-1]
+    co = (w.shape[-1] if w is not None else taps[0].shape[-1])
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     ho = (h + stride - 1) // stride
     wo = (wdt + stride - 1) // stride
@@ -202,7 +209,8 @@ def conv3x3_taps(x, w, stride: int = 1):
         for dj in range(3):
             xs = xp[:, di:di + h:stride, dj:dj + wdt:stride, :]
             xs = xs[:, :ho, :wo, :].reshape(b, ho * wo, ci)
-            t = jnp.einsum("bsc,cf->bsf", xs, w[di, dj],
+            wk = taps[di * 3 + dj] if taps is not None else w[di, dj]
+            t = jnp.einsum("bsc,cf->bsf", xs, wk,
                            preferred_element_type=jnp.float32)
             acc = t if acc is None else acc + t
     return acc.reshape(b, ho, wo, co).astype(x.dtype)

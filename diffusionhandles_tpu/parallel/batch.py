@@ -25,6 +25,8 @@ from diffusionhandles_tpu.guidance import (ProcessedCorrespondences,
                                            foreground_loss_apply,
                                            foreground_orig_precompute,
                                            process_correspondences)
+from diffusionhandles_tpu.models.unet import \
+    maybe_prepare_unet_params
 from diffusionhandles_tpu.scheduler import ddim_step
 
 
@@ -119,6 +121,7 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
 
     def run_fn(unet_params, init_latents, depth64, uncond_seq, cond_emb,
                acts_orig, fgw, bgw, pcs):
+        unet_params = maybe_prepare_unet_params(unet_params)
         T = schedule.num_inference_steps
         gms = guidance_max_step
 

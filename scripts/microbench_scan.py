@@ -60,12 +60,17 @@ def main():
     print(f"split={split} unroll={unroll} pallas={pallas} remat={remat}",
           flush=True)
     unet, params = init_unet_params(cfg, seed=0)
+    prepare = "--no-prepare" not in sys.argv
+    if prepare:
+        from diffusionhandles_tpu.models.unet import prepare_unet_params
     bsz = 2 if "--b2" in sys.argv else 1
     x1 = jnp.asarray(np.random.randn(bsz, 64, 64, 4), jnp.float32)
     d1 = jnp.asarray(np.random.randn(bsz, 64, 64, 1), jnp.float32)
     ctx1 = jnp.asarray(np.random.randn(bsz, 77, 1024), jnp.float32)
 
     def scan_fwd(p, x, d, c):
+        if prepare:
+            p = prepare_unet_params(p)
         def step(lat, t):
             eps, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1),
                                    t, c)
@@ -75,6 +80,8 @@ def main():
         return out
 
     def scan_fwdbwd(p, x, d, c):
+        if prepare:
+            p = prepare_unet_params(p)
         def loss(cc, lat, t):
             eps, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1), t, cc)
             return jnp.mean(eps.astype(jnp.float32) ** 2)
@@ -90,6 +97,8 @@ def main():
         return out
 
     def scan_nullopt(p, x, d, c):
+        if prepare:
+            p = prepare_unet_params(p)
         """EXACT null-opt inner structure (inverter.py): per outer step a
         fresh-Adam lax.while_loop of 5 fwd+bwd wrt the context + 2 no-grad
         fwds — isolates the while/Adam-context overhead vs scan_fwdbwd."""
@@ -163,6 +172,18 @@ def main():
     benches = [("scan_fwd", f1), ("scan_fwdbwd", f2)]
     if "--nullopt" in sys.argv or "--nulloptscan" in sys.argv:
         benches = [("scan_nullopt", jax.jit(scan_nullopt))]
+    if "--trace" in sys.argv:
+        # trace the SCAN program (the production shape): single-call
+        # traces attribute costs that XLA hoists out of scan bodies
+        fn = benches[-1][1]
+        out = fn(params, x1, d1, ctx1)
+        np.asarray(out)
+        tdir = "/tmp/trace_scan_" + benches[-1][0]
+        with jax.profiler.trace(tdir):
+            out = fn(params, x1, d1, ctx1)
+            np.asarray(out)
+        print("trace ->", tdir, flush=True)
+        return
     for name, fn in benches:
         t0 = time.perf_counter()
         v = timeit(fn, params, x1, d1, ctx1)

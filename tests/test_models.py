@@ -206,3 +206,42 @@ def test_vae_taps_conv_impl_parity():
     np.testing.assert_allclose(np.asarray(out_x, np.float32),
                                np.asarray(out_t, np.float32),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_prepare_unet_params_parity():
+    """prepare_unet_params (pre-sliced conv taps, hoisted out of the
+    denoising scans) must be a pure re-plumbing: identical outputs and
+    input-grads to the plain variables dict, in both the taps conv mode
+    and the gated-kernel modes' taps fallbacks."""
+    from diffusionhandles_tpu.models.unet import prepare_unet_params
+
+    for mode in ("taps", False):
+        cfg = tiny_unet_config(pallas_conv=mode)
+        model, params = init_unet_params(cfg, seed=3)
+        prepared = prepare_unet_params(params, dtype=cfg.dtype)
+        if mode == "taps":
+            assert "taps" in prepared
+            k9 = prepared["taps"]["conv_in"]["k9"]
+            assert len(k9) == 9 and k9[0].ndim == 2
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(1, cfg.sample_size,
+                                           cfg.sample_size,
+                                           cfg.in_channels), jnp.float32)
+        t = jnp.int32(7)
+        ctx = jnp.asarray(
+            np.random.RandomState(1).randn(1, 77, cfg.cross_attention_dim),
+            jnp.float32)
+        eps0, acts0, _ = model.apply(params, x, t, ctx)
+        eps1, acts1, _ = model.apply(prepared, x, t, ctx)
+        np.testing.assert_array_equal(np.asarray(eps0), np.asarray(eps1))
+        for a0, a1 in zip(acts0, acts1):
+            np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+        def loss(variables, c):
+            e, _, _ = model.apply(variables, x, t, c)
+            return jnp.mean(e.astype(jnp.float32) ** 2)
+
+        g0 = jax.grad(loss, argnums=1)(params, ctx)
+        g1 = jax.grad(loss, argnums=1)(prepared, ctx)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=0, atol=0)
