@@ -73,6 +73,11 @@ class UNetConfig:
     # (row-major tap matmuls) | 'fused' (taps everywhere + each resnet
     # GN+SiLU+conv half as one Pallas kernel, ops/gn_conv.py).
     pallas_conv: Any = False
+    # Run GroupNorm(+SiLU) sites through the standalone fused Pallas
+    # kernel (ops/groupnorm.py) — one VMEM-resident cell per batch
+    # element vs XLA's ~6x-off-roofline stat fusions. Identical parameter
+    # tree; ineligible shapes fall back to the fp32 flax composition.
+    pallas_gn: bool = False
 
 
 def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
@@ -96,6 +101,36 @@ def _conv3_impl(mode) -> str:
     if mode in ("hybrid", "taps", "mixed", "im2col"):
         return mode
     return "pallas"
+
+
+class GNSiLU(nn.Module):
+    """GroupNorm followed by an optional SiLU and a cast, with the same
+    parameter tree as nn.GroupNorm (scale/bias). When `use_pallas` and
+    the shape is eligible, runs the fused Pallas kernel
+    (ops/groupnorm.py); otherwise the fp32 reference composition
+    (flax-GroupNorm numerics)."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    act: bool = True
+    out_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusionhandles_tpu.ops.groupnorm import (gn_ok, gn_silu,
+                                                        gn_silu_ref)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          self.param_dtype)
+        if self.use_pallas and gn_ok(x.shape, self.groups):
+            return gn_silu(x, scale, bias, self.groups, self.eps,
+                           self.act, self.out_dtype)
+        return gn_silu_ref(x, scale, bias, self.groups, self.eps,
+                           self.act, self.out_dtype)
 
 
 class _NormParams(nn.Module):
@@ -265,6 +300,7 @@ class ResnetBlock(nn.Module):
     # conv1/conv_shortcut run as two summed convs (identical math & params)
     split_at: int = 0
     pallas_conv: Any = False
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
@@ -277,10 +313,16 @@ class ResnetBlock(nn.Module):
             if use_pallas3 else functools.partial(
                 nn.Conv, kernel_size=(3, 3), padding=1))
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=jnp.float32, param_dtype=self.param_dtype,
-                         name="norm1")(x)
-        h = nn.silu(h).astype(self.dtype)
+        if self.pallas_gn:
+            h = GNSiLU(groups=self.groups, eps=1e-5, act=True,
+                       out_dtype=self.dtype, param_dtype=self.param_dtype,
+                       use_pallas=True, name="norm1")(x)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             dtype=jnp.float32,
+                             param_dtype=self.param_dtype,
+                             name="norm1")(x)
+            h = nn.silu(h).astype(self.dtype)
         if self.split_at > 0 and not use_pallas3:
             h = SplitInputConv(self.out_channels, (3, 3),
                                split_at=self.split_at, padding=1,
@@ -295,10 +337,16 @@ class ResnetBlock(nn.Module):
                      param_dtype=self.param_dtype,
                      name="time_emb_proj")(nn.silu(temb).astype(self.dtype))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=jnp.float32, param_dtype=self.param_dtype,
-                         name="norm2")(h)
-        h = nn.silu(h).astype(self.dtype)
+        if self.pallas_gn:
+            h = GNSiLU(groups=self.groups, eps=1e-5, act=True,
+                       out_dtype=self.dtype, param_dtype=self.param_dtype,
+                       use_pallas=True, name="norm2")(h)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             dtype=jnp.float32,
+                             param_dtype=self.param_dtype,
+                             name="norm2")(h)
+            h = nn.silu(h).astype(self.dtype)
         h = conv3(self.out_channels, dtype=self.dtype,
                   param_dtype=self.param_dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
@@ -444,14 +492,22 @@ class Transformer2D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     use_flash: bool = False
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, context, capture_probs: bool = False):
         b, h, w, c = x.shape
         residual = x
-        hidden = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                              dtype=jnp.float32, param_dtype=self.param_dtype,
-                              name="norm")(x).astype(self.dtype)
+        if self.pallas_gn:
+            hidden = GNSiLU(groups=self.groups, eps=1e-6, act=False,
+                            out_dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            use_pallas=True, name="norm")(x)
+        else:
+            hidden = nn.GroupNorm(
+                num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+                name="norm")(x).astype(self.dtype)
         hidden = hidden.reshape(b, h * w, c)
         if self.use_linear_projection:
             hidden = nn.Dense(c, dtype=self.dtype,
@@ -536,6 +592,7 @@ class DownBlock(nn.Module):
     param_dtype: Any = jnp.float32
     pallas_conv: Any = False
     groups: int = 32
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context, capture_probs: bool = False):
@@ -546,6 +603,7 @@ class DownBlock(nn.Module):
                             param_dtype=self.param_dtype,
                             groups=self.groups,
                             pallas_conv=self.pallas_conv,
+                            pallas_gn=self.pallas_gn,
                             name=f"resnets_{i}")(x, temb)
             if self.num_heads:
                 x, p = Transformer2D(
@@ -554,6 +612,7 @@ class DownBlock(nn.Module):
                     use_linear_projection=self.use_linear_projection,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     groups=self.groups, use_flash=self.use_flash,
+                    pallas_gn=self.pallas_gn,
                     name=f"attentions_{i}")(x, context,
                                             capture_probs=capture_probs)
                 probs.append(p)
@@ -580,6 +639,7 @@ class UpBlock(nn.Module):
     split_skip_conv: bool = False
     pallas_conv: Any = False
     groups: int = 32
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, skips, temb, context, capture_probs: bool = False):
@@ -593,6 +653,7 @@ class UpBlock(nn.Module):
                             split_at=(trunk_ch if self.split_skip_conv
                                       else 0),
                             pallas_conv=self.pallas_conv,
+                            pallas_gn=self.pallas_gn,
                             name=f"resnets_{i}")(x, temb)
             if self.num_heads:
                 x, p = Transformer2D(
@@ -601,6 +662,7 @@ class UpBlock(nn.Module):
                     use_linear_projection=self.use_linear_projection,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     groups=self.groups, use_flash=self.use_flash,
+                    pallas_gn=self.pallas_gn,
                     name=f"attentions_{i}")(x, context,
                                             capture_probs=capture_probs)
                 probs.append(p)
@@ -622,6 +684,7 @@ class MidBlock(nn.Module):
     param_dtype: Any = jnp.float32
     pallas_conv: Any = False
     groups: int = 32
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context, capture_probs: bool = False):
@@ -629,6 +692,7 @@ class MidBlock(nn.Module):
                         param_dtype=self.param_dtype,
                         groups=self.groups,
                         pallas_conv=self.pallas_conv,
+                        pallas_gn=self.pallas_gn,
                         name="resnets_0")(x, temb)
         x, probs = Transformer2D(
             self.num_heads, self.channels // self.num_heads,
@@ -636,11 +700,13 @@ class MidBlock(nn.Module):
             use_linear_projection=self.use_linear_projection,
             dtype=self.dtype, param_dtype=self.param_dtype,
             groups=self.groups, use_flash=self.use_flash,
+            pallas_gn=self.pallas_gn,
             name="attentions_0")(x, context, capture_probs=capture_probs)
         x = ResnetBlock(self.channels, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         groups=self.groups,
                         pallas_conv=self.pallas_conv,
+                        pallas_gn=self.pallas_gn,
                         name="resnets_1")(x, temb)
         return x, [probs]
 
@@ -722,6 +788,7 @@ class UNet2DCondition(nn.Module):
                 use_linear_projection=cfg.use_linear_projection,
                 use_flash=cfg.flash_attention,
                 pallas_conv=cfg.pallas_conv, groups=cfg.norm_num_groups,
+                pallas_gn=cfg.pallas_gn,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"down_blocks_{i}")(x, temb, context, capture_attention)
             skips.extend(block_skips)
@@ -735,6 +802,7 @@ class UNet2DCondition(nn.Module):
             use_linear_projection=cfg.use_linear_projection,
             use_flash=cfg.flash_attention,
             pallas_conv=cfg.pallas_conv, groups=cfg.norm_num_groups,
+            pallas_gn=cfg.pallas_gn,
             dtype=dtype, param_dtype=cfg.param_dtype,
             name="mid_block")(x, temb, context, capture_attention)
 
@@ -757,6 +825,7 @@ class UNet2DCondition(nn.Module):
                 use_flash=cfg.flash_attention,
                 split_skip_conv=cfg.split_skip_conv,
                 pallas_conv=cfg.pallas_conv, groups=cfg.norm_num_groups,
+                pallas_gn=cfg.pallas_gn,
                 dtype=dtype, param_dtype=cfg.param_dtype,
                 name=f"up_blocks_{i}")(x, block_skips, temb, context,
                                        capture_attention)
@@ -767,10 +836,15 @@ class UNet2DCondition(nn.Module):
                 activations.append(x.astype(jnp.float32))
                 attn_up.append(probs)
 
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x).astype(dtype)
+        if cfg.pallas_gn:
+            x = GNSiLU(groups=cfg.norm_num_groups, eps=1e-5, act=True,
+                       out_dtype=dtype, param_dtype=cfg.param_dtype,
+                       use_pallas=True, name="conv_norm_out")(x)
+        else:
+            x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                             dtype=jnp.float32, param_dtype=cfg.param_dtype,
+                             name="conv_norm_out")(x)
+            x = nn.silu(x).astype(dtype)
         if cfg.pallas_conv in ("flat", "taps", "fused", "im2col"):
             eps = Conv3x3(cfg.out_channels, dtype=jnp.float32,
                           param_dtype=cfg.param_dtype,

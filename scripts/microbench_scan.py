@@ -54,11 +54,13 @@ def main():
         remat = True
     if "--remat-dots" in sys.argv:
         remat = "dots"
+    gn = "--gn" in sys.argv
     cfg = UNetConfig(in_channels=5, dtype=jnp.bfloat16,
                      param_dtype=jnp.bfloat16, flash_attention=True,
-                     remat=remat, split_skip_conv=split, pallas_conv=pallas)
-    print(f"split={split} unroll={unroll} pallas={pallas} remat={remat}",
-          flush=True)
+                     remat=remat, split_skip_conv=split, pallas_conv=pallas,
+                     pallas_gn=gn)
+    print(f"split={split} unroll={unroll} pallas={pallas} remat={remat} "
+          f"gn={gn}", flush=True)
     unet, params = init_unet_params(cfg, seed=0)
     prepare = "--no-prepare" not in sys.argv
     if prepare:
