@@ -65,6 +65,44 @@ def main():
     prepare = "--no-prepare" not in sys.argv
     if prepare:
         from diffusionhandles_tpu.models.unet import prepare_unet_params
+    # --w8: store every large float leaf as (int8, per-out-channel scale)
+    # and dequantize INSIDE the scan body behind an optimization_barrier.
+    # Measures whether XLA fuses the int8->bf16 converts into the matmul
+    # operand reads (weight HBM traffic halves) or materializes per-step
+    # bf16 copies (traffic grows). Probe only — changes model numerics.
+    w8 = "--w8" in sys.argv
+    if w8 and prepare:
+        # quantize the PREPARED tree (the taps matrices are what the scan
+        # bodies actually read); skip the in-jit prepare.
+        params = jax.jit(prepare_unet_params)(params)
+        prepare = False
+    if w8:
+        def quant(w):
+            if isinstance(w, (tuple, list)):
+                return type(w)(quant(e) for e in w)
+            if w.dtype not in (jnp.bfloat16, jnp.float32) or w.size < 4096:
+                return None
+            wf = w.astype(jnp.float32)
+            scale = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)),
+                            keepdims=True) / 127.0
+            scale = jnp.maximum(scale, 1e-12)
+            q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+            return q, scale.astype(jnp.bfloat16)
+
+        qtree = jax.tree.map(quant, params,
+                             is_leaf=lambda x: not isinstance(x, dict))
+
+        def dequant_tree(p, q):
+            def deq(orig, qs):
+                if qs is None:
+                    return orig
+                if isinstance(orig, (tuple, list)):
+                    return type(orig)(deq(o, s) for o, s in zip(orig, qs))
+                qq, scale = qs
+                return (qq.astype(jnp.bfloat16) * scale).astype(orig.dtype)
+            return jax.tree.map(
+                deq, p, q,
+                is_leaf=lambda x: x is None or not isinstance(x, dict))
     bsz = 2 if "--b2" in sys.argv else 1
     x1 = jnp.asarray(np.random.randn(bsz, 64, 64, 4), jnp.float32)
     d1 = jnp.asarray(np.random.randn(bsz, 64, 64, 1), jnp.float32)
@@ -74,7 +112,11 @@ def main():
         if prepare:
             p = prepare_unet_params(p)
         def step(lat, t):
-            eps, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1),
+            pp = p
+            if w8:
+                qb = jax.lax.optimization_barrier(qtree)
+                pp = dequant_tree(p, qb)
+            eps, _, _ = unet.apply(pp, jnp.concatenate([lat, d], -1),
                                    t, c)
             return lat - 0.1 * eps.astype(lat.dtype), ()
         out, _ = jax.lax.scan(step, x, jnp.arange(STEPS, dtype=jnp.int32),
@@ -84,14 +126,18 @@ def main():
     def scan_fwdbwd(p, x, d, c):
         if prepare:
             p = prepare_unet_params(p)
-        def loss(cc, lat, t):
-            eps, _, _ = unet.apply(p, jnp.concatenate([lat, d], -1), t, cc)
+        def loss(pp, cc, lat, t):
+            eps, _, _ = unet.apply(pp, jnp.concatenate([lat, d], -1), t, cc)
             return jnp.mean(eps.astype(jnp.float32) ** 2)
-        g = jax.grad(loss)
+        g = jax.grad(loss, argnums=1)
 
         def step(carry, t):
             lat, cc = carry
-            cc = cc - 0.01 * g(cc, lat, t)
+            pp = p
+            if w8:
+                qb = jax.lax.optimization_barrier(qtree)
+                pp = dequant_tree(p, qb)
+            cc = cc - 0.01 * g(pp, cc, lat, t)
             return (lat, cc), ()
         (_, out), _ = jax.lax.scan(step, (x, c),
                                    jnp.arange(STEPS, dtype=jnp.int32),
@@ -172,6 +218,10 @@ def main():
     f1 = jax.jit(scan_fwd)
     f2 = jax.jit(scan_fwdbwd)
     benches = [("scan_fwd", f1), ("scan_fwdbwd", f2)]
+    if "--fwd-only" in sys.argv:
+        benches = benches[:1]
+    if "--bwd-only" in sys.argv:
+        benches = benches[1:]
     if "--nullopt" in sys.argv or "--nulloptscan" in sys.argv:
         benches = [("scan_nullopt", jax.jit(scan_nullopt))]
     if "--trace" in sys.argv:
