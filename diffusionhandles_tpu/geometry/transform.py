@@ -160,6 +160,73 @@ def transform_depth_pc(depth, bg_depth, fg_mask, intrinsics,
     return edited_disparity, corr
 
 
+def transform_depth_pc_processed(depth, bg_depth, fg_mask, intrinsics,
+                                 rot_angle: Optional[float] = None,
+                                 rot_axis=None, translation=None,
+                                 use_input_depth_normalization=False,
+                                 bg_erosion: int = 0,
+                                 max_corr: int = 16384,
+                                 latent_res: int = 64):
+    """transform_depth_pc with the correspondence binning fused on device.
+
+    Returns (edited disparity [1,1,H,W] device array, ProcessedCorrespondences
+    of fixed-shape device arrays) — the hot-path variant used by the pipeline
+    facade: unlike transform_depth_pc (whose [N,4] packed-correspondence
+    return is the reference's interchange contract,
+    depth_transform.py:299-336), no per-point field ever crosses to the host
+    (see guidance.process_correspondences_device).
+    """
+    from diffusionhandles_tpu.guidance import (ProcessedCorrespondences,
+                                               process_correspondences)
+
+    depth = jnp.asarray(depth, jnp.float32).reshape(
+        1, 1, np.shape(depth)[-2], np.shape(depth)[-1])
+    bg_depth = jnp.asarray(bg_depth, jnp.float32).reshape(depth.shape)
+    fg = np.asarray(fg_mask, np.float32).reshape(depth.shape[-2],
+                                                 depth.shape[-1])
+    if not (fg > 0.5).any():
+        disp, corr = _empty_result(depth, use_input_depth_normalization)
+        return disp, process_correspondences(
+            corr, img_res=depth.shape[-1], bg_erosion=bg_erosion,
+            max_corr=max_corr, latent_res=latent_res)
+
+    if depth.shape[-2] != depth.shape[-1]:
+        raise RuntimeError(
+            f"Expected fg_mask to be square, got {depth.shape[-2]} x "
+            f"{depth.shape[-1]}.")
+    img_res = depth.shape[-1]
+
+    rot_axis = (np.array([0.0, 1.0, 0.0], np.float32) if rot_axis is None
+                else np.asarray(rot_axis, np.float32))
+    translation = (np.zeros(3, np.float32) if translation is None
+                   else np.asarray(translation, np.float32))
+    rot_angle = 0.0 if rot_angle is None else float(rot_angle)
+
+    inpainted, u, v, visible, cleaned = _transform_depth_pc_device(
+        depth, bg_depth, fg, jnp.asarray(intrinsics, jnp.float32),
+        jnp.asarray(rot_axis), jnp.float32(rot_angle),
+        jnp.asarray(translation), img_res=img_res,
+        use_input_depth_normalization=use_input_depth_normalization)
+
+    n = img_res * img_res
+    pc = _process_correspondences_jit(
+        u[n:], v[n:], visible[n:], cleaned, fg, img_res=img_res,
+        bg_erosion=bg_erosion, max_corr=max_corr, latent_res=latent_res)
+    return jnp.asarray(inpainted, jnp.float32)[None, None], pc
+
+
+@functools.lru_cache(maxsize=1)
+def _get_process_correspondences_jit():
+    from diffusionhandles_tpu.guidance import process_correspondences_device
+    return jax.jit(process_correspondences_device,
+                   static_argnames=("img_res", "bg_erosion", "max_corr",
+                                    "latent_res"))
+
+
+def _process_correspondences_jit(*args, **kwargs):
+    return _get_process_correspondences_jit()(*args, **kwargs)
+
+
 @functools.partial(jax.jit, static_argnames=("img_res",
                                              "use_input_depth_normalization"))
 def _transform_depth_pc_device(depth, bg_depth, fg, intrinsics, rot_axis,

@@ -117,6 +117,85 @@ def process_correspondences(correspondences: np.ndarray, img_res: int,
     )
 
 
+def _erode_cross(mask):
+    """One binary-erosion step with the 3x3 cross structuring element and a
+    zero border — scipy.ndimage.binary_erosion's defaults (structure =
+    generate_binary_structure(2, 1), border_value=0), which the host path
+    uses. mask: [H, W] float32 in {0, 1}."""
+    p = jnp.pad(mask, 1)
+    return (mask * p[:-2, 1:-1] * p[2:, 1:-1]
+            * p[1:-1, :-2] * p[1:-1, 2:])
+
+
+def process_correspondences_device(u, v, visible, cleaned, fg,
+                                   img_res: int, bg_erosion: int = 0,
+                                   max_corr: int = 16384,
+                                   latent_res: int = 64
+                                   ) -> ProcessedCorrespondences:
+    """Device-side correspondence processing, fused with the splat's own
+    visibility filter: transform_depth_pc's host packing
+    (reference: depth_transform.py:299-336) + process_correspondences
+    (reference: guided_stable_diffuser.py:490-584) in one jittable
+    fixed-shape function.
+
+    The host path pulls the splat's per-point u/v/visible fields and the
+    cleaned mask (~3 MB) through the ~35 MB/s device tunnel, packs [N, 4]
+    correspondences with np.nonzero, then re-bins and dedups on the host —
+    ~0.2-0.3 s of transfer + packing per 512^2 edit. Here nothing leaves
+    the device: the keep filter becomes a key sentinel, np.unique becomes
+    jnp.unique with a static size, and the bg masks are scatter-mins.
+
+    Args:
+      u, v, visible: [img_res^2] int32/bool — the splat's winning pixel
+        (clipped in-range) and visibility for the foreground-slot points,
+        raster order over original pixels.
+      cleaned: [img_res, img_res] bool — cleaned target mask.
+      fg: [img_res, img_res] or flat — foreground mask (>0.5 = fg).
+
+    Known divergence from the host path (which warns there): with more
+    than max_corr DISTINCT (orig-cell, trans-cell) pairs, the host keeps
+    the highest-multiplicity pairs while this keeps the lowest cell keys.
+    Reaching it needs >max_corr distinct pairs on a latent_res^2 grid —
+    at the default max_corr=16384 = 4 * 4096 orig cells, practically
+    unreachable (each orig cell warps to ~1 target cell).
+    """
+    L = latent_res
+    n = img_res * img_res
+    idx = jnp.arange(n, dtype=jnp.int32)
+    oy, ox = idx // img_res, idx % img_res
+    fg_flat = jnp.reshape(jnp.asarray(fg), (-1,)).astype(jnp.float32) > 0.5
+    u = jnp.asarray(u, jnp.int32)
+    v = jnp.asarray(v, jnp.int32)
+    keep = (fg_flat & jnp.asarray(visible)
+            & jnp.reshape(jnp.asarray(cleaned), (-1,))[v * img_res + u])
+    scale = img_res // latent_res
+    oxl, oyl = ox // scale, oy // scale
+    txl, tyl = u // scale, v // scale
+    key = ((oyl * L + oxl) * L + tyl) * L + txl
+    sentinel = jnp.int32(L ** 4)
+    key = jnp.where(keep, key, sentinel)
+    uniq, counts = jnp.unique(key, return_counts=True, size=max_corr + 1,
+                              fill_value=sentinel)
+    live = uniq != sentinel
+    w = jnp.where(live, counts, 0).astype(jnp.float32)[:max_corr]
+    uniq = jnp.where(live, uniq, 0)[:max_corr]
+    utx = (uniq % L).astype(jnp.int32)
+    uty = ((uniq // L) % L).astype(jnp.int32)
+    uox = ((uniq // (L * L)) % L).astype(jnp.int32)
+    uoy = (uniq // (L ** 3)).astype(jnp.int32)
+
+    km = jnp.where(keep, 0.0, 1.0)
+    bg_orig = jnp.ones((L, L), jnp.float32).at[oyl, oxl].min(km)
+    bg_trans = jnp.ones((L, L), jnp.float32).at[tyl, txl].min(km)
+    for _ in range(bg_erosion):
+        bg_orig = _erode_cross(bg_orig)
+        bg_trans = _erode_cross(bg_trans)
+    return ProcessedCorrespondences(
+        corr_ox=uox, corr_oy=uoy, corr_tx=utx, corr_ty=uty, corr_w=w,
+        bg_mask_orig=bg_orig, bg_mask_trans=bg_trans,
+        bg_mask_both=bg_orig * bg_trans)
+
+
 def _avg_pool_same(x, patch_size: int):
     """AvgPool2d(patch, stride=1, padding=patch//2, count_include_pad=True)
     on [H, W, C] — matches torch (reference: losses.py:64)."""

@@ -219,21 +219,37 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
     depth64s = []
     pcs = []
     for tr in transforms:
-        edited_disparity, corr = transform_depth(
-            depth=depth, bg_depth=bg_depth, fg_mask=fg_mask, intrinsics=K,
-            rot_angle=tr.get("rotation_angle"),
-            rot_axis=(np.asarray(tr["rotation_axis"], np.float32)
-                      if "rotation_axis" in tr else None),
-            translation=(np.asarray(tr["translation"], np.float32)
-                         if "translation" in tr else None),
-            depth_transform_mode=handles.conf.depth_transform_mode)
+        if handles.conf.depth_transform_mode == "pc":
+            # device-fused correspondence binning (see pipeline facade)
+            from diffusionhandles_tpu.geometry.transform import \
+                transform_depth_pc_processed
+            edited_disparity, pc = transform_depth_pc_processed(
+                depth=depth, bg_depth=bg_depth, fg_mask=fg_mask,
+                intrinsics=K, rot_angle=tr.get("rotation_angle"),
+                rot_axis=(np.asarray(tr["rotation_axis"], np.float32)
+                          if "rotation_axis" in tr else None),
+                translation=(np.asarray(tr["translation"], np.float32)
+                             if "translation" in tr else None),
+                bg_erosion=conf.bg_erosion,
+                max_corr=conf.max_correspondences,
+                latent_res=d.latent_res)
+        else:
+            edited_disparity, corr = transform_depth(
+                depth=depth, bg_depth=bg_depth, fg_mask=fg_mask,
+                intrinsics=K, rot_angle=tr.get("rotation_angle"),
+                rot_axis=(np.asarray(tr["rotation_axis"], np.float32)
+                          if "rotation_axis" in tr else None),
+                translation=(np.asarray(tr["translation"], np.float32)
+                             if "translation" in tr else None),
+                depth_transform_mode=handles.conf.depth_transform_mode)
+            # correspondences live in the depth map's pixel space (see
+            # diffuser.guided_inference), not the model's native resolution
+            depth_res = int(max(np.asarray(depth).shape[-2:]))
+            pc = process_correspondences(
+                corr, img_res=depth_res, bg_erosion=conf.bg_erosion,
+                max_corr=conf.max_correspondences, latent_res=d.latent_res)
         depth64s.append(d.init_depth(edited_disparity)[0])
-        # correspondences live in the depth map's pixel space (see
-        # diffuser.guided_inference), not the model's native resolution
-        depth_res = int(max(np.asarray(depth).shape[-2:]))
-        pcs.append(process_correspondences(
-            corr, img_res=depth_res, bg_erosion=conf.bg_erosion,
-            max_corr=conf.max_correspondences, latent_res=d.latent_res))
+        pcs.append(pc)
 
     B = len(transforms)
     depth64 = jnp.stack(depth64s)  # [B, 64, 64, 1]

@@ -80,8 +80,9 @@ class DiffusionHandles:
         Returns (null_text_emb [T, 1, 77, D], init_noise [1, 4, h, w]),
         torch-layout numpy.
         """
-        disparity = np.asarray(normalize_depth(1.0 / jnp.asarray(
-            depth, jnp.float32)))
+        # stays a device array: init_depth consumes it directly; a
+        # np.asarray here would round-trip ~1 MB through the device tunnel
+        disparity = normalize_depth(1.0 / jnp.asarray(depth, jnp.float32))
         img_nhwc = to_nhwc(np.asarray(img, np.float32))
         fused = getattr(self.conf.guided_diffuser, "fused_recording", True)
         if fused:
@@ -151,8 +152,7 @@ class DiffusionHandles:
                 return (rec["null"], rec["noise"],
                         [to_nchw(a) for a in rec["acts"]],
                         to_nchw(rec["latents"]))
-        disparity = np.asarray(normalize_depth(1.0 / jnp.asarray(
-            depth, jnp.float32)))
+        disparity = normalize_depth(1.0 / jnp.asarray(depth, jnp.float32))
         if init_noise is not None:
             init_noise = to_nhwc(jnp.asarray(init_noise, jnp.float32))
         if null_text_emb is not None:
@@ -189,12 +189,32 @@ class DiffusionHandles:
         Returns (edited_img [1,3,H,W] in [0,1], edited_disparity [1,1,H,W])
         and, when save_denoising_steps, the per-step decoded images.
         """
-        edited_disparity, correspondences = transform_depth(
-            depth=depth, bg_depth=bg_depth, fg_mask=fg_mask,
-            intrinsics=self.diffuser.get_depth_intrinsics(),
-            rot_angle=rot_angle, rot_axis=rot_axis, translation=translation,
-            use_input_depth_normalization=use_input_depth_normalization,
-            depth_transform_mode=self.conf.depth_transform_mode)
+        gconf = self.conf.guided_diffuser
+        if self.conf.depth_transform_mode == "pc":
+            # hot path: correspondence binning fused on device — no
+            # per-point host round trip (the packed [N,4] interchange
+            # format stays available via transform_depth for parity users)
+            from diffusionhandles_tpu.geometry.transform import \
+                transform_depth_pc_processed
+            edited_disparity, pc = transform_depth_pc_processed(
+                depth=depth, bg_depth=bg_depth, fg_mask=fg_mask,
+                intrinsics=self.diffuser.get_depth_intrinsics(),
+                rot_angle=rot_angle, rot_axis=rot_axis,
+                translation=translation,
+                use_input_depth_normalization=use_input_depth_normalization,
+                bg_erosion=gconf.bg_erosion,
+                max_corr=gconf.max_correspondences,
+                latent_res=self.diffuser.latent_res)
+            correspondences = None
+        else:
+            edited_disparity, correspondences = transform_depth(
+                depth=depth, bg_depth=bg_depth, fg_mask=fg_mask,
+                intrinsics=self.diffuser.get_depth_intrinsics(),
+                rot_angle=rot_angle, rot_axis=rot_axis,
+                translation=translation,
+                use_input_depth_normalization=use_input_depth_normalization,
+                depth_transform_mode=self.conf.depth_transform_mode)
+            pc = None
 
         init_noise = to_nhwc(jnp.asarray(init_noise, jnp.float32))
         # keep activation stacks on device if they already live there
@@ -205,6 +225,7 @@ class DiffusionHandles:
             uncond_embeddings=jnp.asarray(null_text_emb, jnp.float32),
             prompt=prompt, activations_orig=acts_nhwc,
             correspondences=correspondences,
+            processed_correspondences=pc,
             fg_weight=fg_weight, bg_weight=bg_weight,
             save_denoising_steps=self.conf.guided_diffuser
             .save_denoising_steps)
