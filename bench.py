@@ -65,10 +65,13 @@ def _block(*trees):
     it; a full np.asarray would time the ~35 MB/s tunnel instead."""
     import jax
     import jax.numpy as jnp
-    for tree in trees:
-        for leaf in jax.tree.leaves(tree):
-            if hasattr(leaf, "devices"):
-                float(jnp.sum(jnp.abs(leaf.ravel()[:1])))
+    vals = [leaf.ravel()[:1].astype(jnp.float32)
+            for tree in trees
+            for leaf in jax.tree.leaves(tree) if hasattr(leaf, "devices")]
+    if vals:
+        # ONE combined scalar pull (still an ordering barrier on every
+        # leaf): per-leaf pulls cost a tunnel round trip each
+        float(jnp.sum(jnp.abs(jnp.concatenate(vals))))
 
 
 def run_edit(handles, sample, prompt="a toy cube on a table"):

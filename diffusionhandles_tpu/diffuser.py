@@ -132,17 +132,16 @@ def create_sd_models(model_paths: Optional[ModelPathsConfig] = None,
         ccfg = tiny_clip_config()
     else:
         in_ch = 5 if conf.use_depth else 4
-        # Conv strategy per path (all hardware-measured, PERFORMANCE.md):
-        # - grad path (this model): "taps" — 3x3 convs as nine shifted
-        #   row-major matmuls and 1x1 shortcuts as matmuls, so the whole
-        #   fwd+bwd graph stays in [B, S, C] matmul layouts with no conv
-        #   ops anywhere (autodiff of einsums is more einsums). Kills the
-        #   measured layout-copy churn and off-roofline conv dgrads:
-        #   24.4 -> 21.1 ms/step fwd+bwd vs XLA convs.
-        # - no-grad path (`unet_fast` below): Pallas flattened-shift
-        #   kernels (best fwd-only; their custom-VJP bwd loses to taps).
-        # conf.pallas_conv=False disables BOTH custom paths, restoring the
-        # plain XLA-conv graphs for A/B parity debugging (config.py).
+        # Conv strategy (hardware-measured, PERFORMANCE.md): "taps" on ALL
+        # U-Net paths — 3x3 convs as nine shifted row-major matmuls and
+        # 1x1 shortcuts as matmuls, so fwd and fwd+bwd graphs stay in
+        # [B, S, C] matmul layouts with no conv ops anywhere (autodiff of
+        # einsums is more einsums). Kills the measured layout-copy churn
+        # and off-roofline conv dgrads (24.4 -> 21.1 ms/step fwd+bwd vs
+        # XLA convs) and beats the Pallas flattened-shift kernel on the
+        # no-grad passes too (batch-2 CFG fwd 15.06 vs 17.36 ms/step,
+        # round-4 A/B). conf.pallas_conv=False disables the custom path,
+        # restoring plain XLA-conv graphs for A/B parity debugging.
         grad_conv = ("taps" if (getattr(conf, "pallas_conv", True)
                                 and jax.default_backend() == "tpu")
                      else False)
@@ -192,10 +191,14 @@ class GuidedStableDiffuser(GuidedDiffuser):
         # The flash-attention Pallas kernels (fwd + FlashAttention-2 bwd)
         # are faster than dense attention in both no-grad and grad paths at
         # SD2's 4096-token self-attention, so the base model uses them when
-        # conf.flash_attention is set. `unet_fast` additionally routes
-        # eligible 3x3 convs through the Pallas flattened-shift kernel —
-        # a no-grad-only win (its custom-VJP backward loses to XLA's conv
-        # dgrad, so the grad-path model keeps XLA convs).
+        # conf.flash_attention is set. Since round 4 `unet_fast` uses the
+        # SAME "taps" conv strategy as the grad model (so it normally IS
+        # the grad model): the round-4 batch-2 A/B retired the Pallas
+        # flattened-shift kernel from the hot path — scan fwd/unet-call
+        # taps 15.06 ms vs pallas 17.36 ms at batch 2 (the CFG shape) and
+        # 8.52 vs ~8.9 ms at batch 1 (scripts/microbench_scan.py --b2).
+        # The kernel itself stays available via UNetConfig.pallas_conv=True
+        # (parity tests + A/B).
         fast_cfg = self.models.unet_config
         if conf.flash_attention and not fast_cfg.flash_attention:
             fast_cfg = dataclasses.replace(fast_cfg, flash_attention=True)
@@ -203,8 +206,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
                 # create_sd_models' gate — a config object lacking the
                 # field must enable/disable BOTH custom conv paths together
                 and jax.default_backend() == "tpu"
-                and fast_cfg.pallas_conv is not True):
-            fast_cfg = dataclasses.replace(fast_cfg, pallas_conv=True)
+                and fast_cfg.pallas_conv != "taps"):
+            fast_cfg = dataclasses.replace(fast_cfg, pallas_conv="taps")
         if fast_cfg is not self.models.unet_config:
             self.unet_fast = UNet2DCondition(fast_cfg)
         else:
@@ -412,8 +415,8 @@ class GuidedStableDiffuser(GuidedDiffuser):
     def _build_guided_inference(self, bg_loss_type: str, fg_patch: int,
                                 bg_patch: int, num_optsteps: int,
                                 guidance_max_step: int, emit_steps: bool):
-        unet = self.models.unet          # grad path (XLA convs)
-        unet_fast = self.unet_fast       # no-grad CFG (Pallas convs)
+        unet = self.models.unet          # grad path (taps convs)
+        unet_fast = self.unet_fast       # no-grad CFG (taps convs too)
         schedule = self.schedule
         gs = self.conf.guidance_scale
         glr = self.conf.guidance_lr

@@ -93,8 +93,8 @@ class StableNullInverter(NullInverter):
                                  record: bool = False):
         model = self.model
         act_dtype = ACT_DTYPES[model.conf.activation_store_dtype]
-        # grad path: flash attention + XLA convs (best measured bwd);
-        # no-grad passes additionally use the Pallas conv kernel
+        # both paths use flash attention + taps convs (best measured fwd
+        # AND bwd since the round-4 batch-2 A/B; see diffuser.__init__)
         unet = model.models.unet
         unet_fast = model.unet_fast
         schedule = model.schedule
