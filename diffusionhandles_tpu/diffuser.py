@@ -197,8 +197,12 @@ class GuidedStableDiffuser(GuidedDiffuser):
         # flattened-shift kernel from the hot path — scan fwd/unet-call
         # taps 15.06 ms vs pallas 17.36 ms at batch 2 (the CFG shape) and
         # 8.52 vs ~8.9 ms at batch 1 (scripts/microbench_scan.py --b2).
-        # The kernel itself stays available via UNetConfig.pallas_conv=True
-        # (parity tests + A/B).
+        # A/B recipe for the retired flattened-shift kernel: set
+        # conf.pallas_conv=False (disables this coercion) and build the
+        # U-Net directly with UNetConfig(pallas_conv='flat') — with
+        # conf.pallas_conv truthy, any fast_cfg mode is coerced to "taps"
+        # here, so the no-grad Pallas path is NOT reachable through the
+        # diffuser config alone.
         fast_cfg = self.models.unet_config
         if conf.flash_attention and not fast_cfg.flash_attention:
             fast_cfg = dataclasses.replace(fast_cfg, flash_attention=True)
@@ -452,60 +456,52 @@ class GuidedStableDiffuser(GuidedDiffuser):
         def run(unet_params, init_latents, depth64, uncond_seq, cond_emb,
                 acts_orig, fgw, bgw, pc):
             unet_params = maybe_prepare_unet_params(unet_params)
-            # acts_orig: tuple of 3 [T, H, W, C]; fgw/bgw: [gms, opt, 3].
-            def guided_step(latents, xs):
+            # acts_orig: tuple of 3 [T, H, W, C]; fgw/bgw: [T, opt, 3]
+            # (zero past guidance_max_step). ONE scan over all T steps with
+            # the guidance under a lax.cond — not a guided scan + a plain
+            # scan: two scan bodies each inline a full batch-2 CFG U-Net
+            # instance, and executable bytes are the cold-start budget
+            # (~30-50 ms of fresh-process tunnel time per MB,
+            # PERFORMANCE.md "Cold start"). The cond's identity branch
+            # reproduces the reference's empty opt loop past
+            # guidance_max_step (guided_stable_diffuser.py:392,443-479).
+            def step(latents, xs):
                 step_idx, uncond_t, acts_orig_t, fgw_t, bgw_t = xs
-                # Latent-independent halves of the losses, hoisted out of
-                # the opt iterations (and out of jax.grad's tape): computed
-                # once per denoising step instead of num_optsteps times.
-                fg_pre = tuple(foreground_orig_precompute(
-                    acts_orig_t[k], pc, fg_patch, act_size)
-                    for k in range(3))
-                bg_pre = tuple(background_orig_precompute(
-                    acts_orig_t[k], pc, bg_patch, act_size, bg_loss_type)
-                    for k in range(3))
 
-                def one_iter(it, lat):
-                    g = grad_energy(lat, unet_params, depth64, cond_emb,
-                                    step_idx, fg_pre, bg_pre, fgw_t[it],
-                                    bgw_t[it], pc)
-                    return lat - glr * g
+                def opt_iters(lat):
+                    # Latent-independent halves of the losses, hoisted out
+                    # of the opt iterations (and out of jax.grad's tape):
+                    # computed once per denoising step, not num_optsteps
+                    # times.
+                    fg_pre = tuple(foreground_orig_precompute(
+                        acts_orig_t[k], pc, fg_patch, act_size)
+                        for k in range(3))
+                    bg_pre = tuple(background_orig_precompute(
+                        acts_orig_t[k], pc, bg_patch, act_size,
+                        bg_loss_type) for k in range(3))
 
-                latents = jax.lax.fori_loop(0, num_optsteps, one_iter,
-                                            latents)
+                    def one_iter(it, la):
+                        g = grad_energy(la, unet_params, depth64, cond_emb,
+                                        step_idx, fg_pre, bg_pre, fgw_t[it],
+                                        bgw_t[it], pc)
+                        return la - glr * g
+
+                    return jax.lax.fori_loop(0, num_optsteps, one_iter, lat)
+
+                latents = jax.lax.cond(step_idx < guidance_max_step,
+                                       opt_iters, lambda la: la, latents)
+                # past guidance_max_step the "post opt" decode is the
+                # previous step's latents, like the reference's empty loop
                 post_opt = latents
                 latents = cfg_step(unet_params, latents, depth64, uncond_t,
                                    cond_emb, step_idx)
                 out = (post_opt, latents) if emit_steps else None
                 return latents, out
 
-            def plain_step(latents, xs):
-                step_idx, uncond_t = xs
-                # emit (pre-CFG, post-CFG) like the reference: past
-                # guidance_max_step the opt loop is empty, so the "post
-                # opt" decode is the PREVIOUS step's latents
-                # (guided_stable_diffuser.py:443-479)
-                pre = latents
-                latents = cfg_step(unet_params, latents, depth64, uncond_t,
-                                   cond_emb, step_idx)
-                out = (pre, latents) if emit_steps else None
-                return latents, out
-
             T = schedule.num_inference_steps
-            gms = guidance_max_step
             idx = jnp.arange(T)
-            acts_g = tuple(a[:gms] for a in acts_orig)
-            latents, steps_g = jax.lax.scan(
-                guided_step, init_latents,
-                (idx[:gms], uncond_seq[:gms], acts_g, fgw, bgw))
-            latents, steps_p = jax.lax.scan(
-                plain_step, latents, (idx[gms:], uncond_seq[gms:]))
-            if emit_steps:
-                steps = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b], 0),
-                    steps_g, steps_p)
-            else:
-                steps = None
+            latents, steps = jax.lax.scan(
+                step, init_latents, (idx, uncond_seq, acts_orig, fgw, bgw))
             return latents, steps
 
         return AotStore.default().wrap(
@@ -553,11 +549,11 @@ class GuidedStableDiffuser(GuidedDiffuser):
             uncond_seq = jnp.broadcast_to(uncond_seq,
                                           (T,) + uncond_seq.shape[1:])
 
+        # full [T, opt, 3], zero past guidance_max_step (the merged scan
+        # gates the opt iterations on step_idx < guidance_max_step)
         fgw, bgw = build_guidance_weight_schedule(
             fg_weight, bg_weight, conf.guidance_max_step, T,
             conf.num_optsteps, conf.guidance_schedule_type)
-        fgw = fgw[:conf.guidance_max_step]
-        bgw = bgw[:conf.guidance_max_step]
 
         # every conf scalar baked into the compiled closure keys the cache
         # (guidance_scale/guidance_lr were omitted once: mutating conf

@@ -176,8 +176,7 @@ def transform_depth_pc_processed(depth, bg_depth, fg_mask, intrinsics,
     depth_transform.py:299-336), no per-point field ever crosses to the host
     (see guidance.process_correspondences_device).
     """
-    from diffusionhandles_tpu.guidance import (ProcessedCorrespondences,
-                                               process_correspondences)
+    from diffusionhandles_tpu.guidance import process_correspondences
 
     depth = jnp.asarray(depth, jnp.float32).reshape(
         1, 1, np.shape(depth)[-2], np.shape(depth)[-1])

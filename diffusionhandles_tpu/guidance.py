@@ -160,6 +160,15 @@ def process_correspondences_device(u, v, visible, cleaned, fg,
     unreachable (each orig cell warps to ~1 target cell).
     """
     L = latent_res
+    # the packed (orig-cell, trans-cell) key and its sentinel are int32:
+    # L**4 must stay below 2**31 (L <= 215) or keys alias silently — the
+    # host path packs in int64 and has no such bound. Fail loudly instead:
+    # a latent grid that big needs the key computed in int64.
+    if L ** 4 >= 2 ** 31:
+        raise ValueError(
+            f"latent_res={L}: packed correspondence keys need "
+            f"L**4 < 2**31 (L <= 215); use the host path or widen the "
+            f"key dtype to int64")
     n = img_res * img_res
     idx = jnp.arange(n, dtype=jnp.int32)
     oy, ox = idx // img_res, idx % img_res

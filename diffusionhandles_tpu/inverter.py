@@ -9,8 +9,11 @@ Re-designs the reference's StableNullInverter
   the per-timestep Adam loop over the uncond embedding (fresh optimizer,
   lr = 1e-2*(1 - i/100), up to num_inner_steps iterations with the
   loss < epsilon + i*2e-5 early stop) becomes a `lax.while_loop` whose body
-  is one U-Net fwd+bwd via jax.value_and_grad — the data-dependent early
-  stop stays on device.
+  is one U-Net forward (jax.vjp) with the backward under a lax.cond — the
+  data-dependent early stop stays on device, and the loop's trailing
+  no-step iteration doubles as the reference's post-loop uncond forward
+  (:163-165), keeping one fewer U-Net code instance in the serialized
+  executable (the cold-start payload budget, PERFORMANCE.md "Cold start").
 """
 
 from __future__ import annotations
@@ -114,13 +117,20 @@ class StableNullInverter(NullInverter):
                                         timesteps[step_idx], uncond)
             return eps
 
+        def eps_to_loss(eps_u, eps_cond, latent_cur, latent_prev, step_idx):
+            """MSE as a function of the uncond eps prediction (tiny graph;
+            the U-Net forward is factored out so its fwd and bwd can be
+            placed separately — see the while-loop restructure below)."""
+            eps = eps_u + gs * (eps_cond - eps_u)
+            latent_prev_rec = ddim_step(schedule, eps, step_idx, latent_cur)
+            return jnp.mean((latent_prev_rec - latent_prev) ** 2)
+
         def mse_loss(uncond, unet_params, latent_cur, depth64, eps_cond,
                      latent_prev, step_idx):
             eps_u = uncond_eps(unet_params, latent_cur, depth64, uncond,
                                step_idx)
-            eps = eps_u + gs * (eps_cond - eps_u)
-            latent_prev_rec = ddim_step(schedule, eps, step_idx, latent_cur)
-            return jnp.mean((latent_prev_rec - latent_prev) ** 2)
+            return eps_to_loss(eps_u, eps_cond, latent_cur, latent_prev,
+                               step_idx)
 
         loss_and_grad = jax.value_and_grad(mse_loss)
 
@@ -154,25 +164,59 @@ class StableNullInverter(NullInverter):
                 # Fresh Adam per timestep (reference :143).
                 tx = optax.adam(1.0)  # lr applied via scaling below
                 opt_state0 = tx.init(uncond)
-
-                def cond_fn(state):
-                    j, last_loss, _, _ = state
-                    return jnp.logical_and(
-                        j < num_inner_steps,
-                        jnp.logical_or(j == 0, last_loss >= thresh))
-
-                def body_fn(state):
-                    j, _, u, opt_state = state
-                    loss, g = loss_and_grad(u, unet_params, latent_cur,
-                                            depth64, eps_cond, latent_prev,
-                                            step_idx)
-                    updates, opt_state = tx.update(g, opt_state, u)
-                    u = optax.apply_updates(
-                        u, jax.tree.map(lambda x: lr * x, updates))
-                    return j + 1, loss, u, opt_state
-
                 init = (jnp.int32(0), jnp.float32(jnp.inf), uncond,
                         opt_state0)
+
+                def while_carry_eps():
+                    """While-loop variant that carries eps_u(u_final) OUT of
+                    the loop: each iteration runs the U-Net forward via
+                    jax.vjp, decides from the PREVIOUS loss whether to take
+                    the Adam step (the reference steps at u_j iff j < N and
+                    (j == 0 or loss_{j-1} >= thresh),
+                    stable_null_inverter.py:148-159), and runs the backward
+                    only inside a lax.cond. The loop exits right after its
+                    first no-step iteration, whose forward IS the final CFG
+                    uncond eps — eliminating the separate post-loop U-Net
+                    forward instance. Same step/forward count as the
+                    cond_fn/body_fn pair above, but one fewer U-Net code
+                    instance in the executable: null_opt's serialized
+                    program is the largest cold-start payload, and every
+                    program MB is ~30-50 ms of fresh-process tunnel time
+                    (PERFORMANCE.md "Cold start")."""
+                    def cond2(state):
+                        j, stepped, _, _, _, _ = state
+                        return jnp.logical_or(j == 0, stepped)
+
+                    def body2(state):
+                        j, _, last_loss, u, opt_state, _ = state
+                        eps_u, pullback = jax.vjp(
+                            lambda uu: uncond_eps(unet_params, latent_cur,
+                                                  depth64, uu, step_idx), u)
+                        loss, dl_deps = jax.value_and_grad(eps_to_loss)(
+                            eps_u, eps_cond, latent_cur, latent_prev,
+                            step_idx)
+                        should_step = jnp.logical_and(
+                            j < num_inner_steps,
+                            jnp.logical_or(j == 0, last_loss >= thresh))
+
+                        def do_update(_):
+                            (g,) = pullback(dl_deps)
+                            updates, opt2 = tx.update(g, opt_state, u)
+                            u2 = optax.apply_updates(
+                                u, jax.tree.map(lambda x: lr * x, updates))
+                            return u2, opt2
+
+                        u2, opt2 = jax.lax.cond(
+                            should_step, do_update,
+                            lambda _: (u, opt_state), None)
+                        return (j + 1, should_step, loss, u2, opt2, eps_u)
+
+                    init2 = (jnp.int32(0), jnp.bool_(False),
+                             jnp.float32(jnp.inf), uncond, opt_state0,
+                             jnp.zeros_like(latent_cur))
+                    _, _, _, u_final, _, eps_u_final = jax.lax.while_loop(
+                        cond2, body2, init2)
+                    return u_final, eps_u_final
                 if inner_loop == "scan":
                     # Masked fixed-trip scan: identical VALUES to the
                     # while_loop (post-early-stop iterations are masked to
@@ -199,13 +243,15 @@ class StableNullInverter(NullInverter):
                         return (j + 1, last_loss, u, opt_state), None
                     (_, _, uncond, _), _ = jax.lax.scan(
                         scan_body, init, None, length=num_inner_steps)
+                    # CFG prev-step with the optimized uncond
+                    # (reference :163-165).
+                    eps_u = uncond_eps_fast(unet_params, latent_cur,
+                                            depth64, uncond, step_idx)
                 else:
-                    _, _, uncond, _ = jax.lax.while_loop(cond_fn, body_fn,
-                                                         init)
-
-                # CFG prev-step with the optimized uncond (reference :163-165).
-                eps_u = uncond_eps_fast(unet_params, latent_cur, depth64,
-                                        uncond, step_idx)
+                    # the restructured while loop's trailing iteration
+                    # already computed eps_u(u_final) — no post-loop U-Net
+                    # forward instance (see while_carry_eps)
+                    uncond, eps_u = while_carry_eps()
                 eps = eps_u + gs * (eps_cond - eps_u)
                 latent_cur = ddim_step(schedule, eps, step_idx, latent_cur)
                 return (latent_cur, uncond), (uncond, recorded)

@@ -123,35 +123,35 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
                acts_orig, fgw, bgw, pcs):
         unet_params = maybe_prepare_unet_params(unet_params)
         T = schedule.num_inference_steps
-        gms = guidance_max_step
 
-        def guided_step(latents, xs):
+        # ONE scan with the opt iterations under lax.cond, mirroring
+        # diffuser._build_guided_inference: a separate plain-CFG scan
+        # would inline a second batched CFG U-Net instance into the
+        # executable (cold-start payload, PERFORMANCE.md "Cold start").
+        # fgw/bgw are full [T, opt, 3], zero past guidance_max_step.
+        def step(latents, xs):
             step_idx, uncond_t, acts_t, fgw_t, bgw_t = xs
-            fg_pre, bg_pre = orig_precompute(acts_t, pcs)
 
-            def one_iter(it, lat):
-                g = grad_energy(lat, unet_params, depth64, cond_emb,
-                                step_idx, fg_pre, bg_pre, fgw_t[it],
-                                bgw_t[it], pcs)
-                return lat - glr * g
+            def opt_iters(lat):
+                fg_pre, bg_pre = orig_precompute(acts_t, pcs)
 
-            latents = jax.lax.fori_loop(0, num_optsteps, one_iter, latents)
+                def one_iter(it, la):
+                    g = grad_energy(la, unet_params, depth64, cond_emb,
+                                    step_idx, fg_pre, bg_pre, fgw_t[it],
+                                    bgw_t[it], pcs)
+                    return la - glr * g
+
+                return jax.lax.fori_loop(0, num_optsteps, one_iter, lat)
+
+            latents = jax.lax.cond(step_idx < guidance_max_step,
+                                   opt_iters, lambda la: la, latents)
             latents = cfg_batch(unet_params, latents, depth64, uncond_t,
                                 cond_emb, step_idx)
             return latents, None
 
-        def plain_step(latents, xs):
-            step_idx, uncond_t = xs
-            return cfg_batch(unet_params, latents, depth64, uncond_t,
-                             cond_emb, step_idx), None
-
         idx = jnp.arange(T)
-        acts_g = tuple(a[:gms] for a in acts_orig)
         latents, _ = jax.lax.scan(
-            guided_step, init_latents,
-            (idx[:gms], uncond_seq[:gms], acts_g, fgw, bgw))
-        latents, _ = jax.lax.scan(plain_step, latents,
-                                  (idx[gms:], uncond_seq[gms:]))
+            step, init_latents, (idx, uncond_seq, acts_orig, fgw, bgw))
         return latents
 
     if mesh is not None:
@@ -264,11 +264,11 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
     init_lat = jnp.broadcast_to(init_lat[0][None],
                                 (B,) + init_lat.shape[1:])
 
+    # full [T, opt, 3], zero past guidance_max_step (the merged scan gates
+    # the opt iterations on step_idx < guidance_max_step)
     fgw, bgw = build_guidance_weight_schedule(
         conf.fg_weight, conf.bg_weight, conf.guidance_max_step, T,
         conf.num_optsteps, conf.guidance_schedule_type)
-    fgw = fgw[:conf.guidance_max_step]
-    bgw = bgw[:conf.guidance_max_step]
 
     act_dtype = ACT_DTYPES[conf.activation_store_dtype]
     # device-resident transpose/cast (the stacks are ~0.5 GB; forcing numpy

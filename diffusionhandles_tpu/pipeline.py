@@ -231,6 +231,11 @@ class DiffusionHandles:
             .save_denoising_steps)
 
         edited_disparity = np.asarray(edited_disparity)
+        # unblock the deferred prefetch wave (batched-editing programs):
+        # the first edit's programs are all resident now, so deserializing
+        # the rest no longer competes with the cold-start critical path
+        from diffusionhandles_tpu.utils.aot import AotStore
+        AotStore.default().first_edit_done.set()
         if self.conf.guided_diffuser.save_denoising_steps:
             edited_img, denoising_steps = results
             return (to_nchw(edited_img), edited_disparity, denoising_steps)

@@ -4,8 +4,8 @@ The XLA persistent compilation cache removes recompiles, but a fresh process
 still pays minutes of per-program tracing/loading at startup on this device
 runtime (round-1 measured ~968 s of warmup for the full pipeline). This
 module serializes *compiled executables* (`jax.experimental
-.serialize_executable`) keyed by (package code hash, function name, argument
-avals, device fingerprint) so a fresh process can load them directly.
+.serialize_executable`) keyed by the program content itself so a fresh
+process can load them directly.
 
 No reference counterpart: the reference's startup cost is HF checkpoint
 loading plus CUDA kernel JIT, both cached by their runtimes
@@ -17,8 +17,18 @@ Usage:
     fn = aot.wrap("guided_v1", jitted_or_plain_fn)
     out = fn(*args)                   # loads from store or compiles+saves
 
-Invalidation: the key includes a hash over every .py file in the package, so
-ANY source change invalidates all stored executables (correctness first).
+Invalidation (per-program content keys, round 5): the store key is derived
+from the traced program itself — a SHA-256 of the lowered StableHLO text
+(debug metadata stripped) + the argument avals + the device fingerprint —
+so an executable goes stale exactly when ITS graph changes; editing an
+unrelated source file preserves every hit. (The round-4 whole-package code
+hash invalidated all pipeline executables on ANY compute-path edit: the
+round-4 driver measured a 709 s warmup from 4/6 misses.) Tracing to obtain
+the program hash is itself memoized in a sidecar JSON keyed by a
+whole-package code hash, so unchanged code never re-traces; a code edit
+costs one re-trace per program (seconds) instead of a recompile (minutes)
+for programs the edit did not affect. Stale entries are collected by a
+last-use TTL (touch-on-load mtime), not by code-hash generation.
 """
 
 from __future__ import annotations
@@ -95,11 +105,15 @@ _COMPUTE_PATH = (
     "parallel/batch.py", "parallel/sharding.py",
 )
 
-# Bump when the pickled .aot record layout changes.
-_FORMAT_VERSION = 1
+# Bump when the pickled .aot record layout or the key derivation changes.
+# v2: per-program StableHLO content keys (filenames start "v2-").
+_FORMAT_VERSION = 2
 
 
 def _package_code_hash() -> str:
+    """Whole-compute-path code hash — since round 5 this is ONLY the
+    sidecar memo generation (when to re-trace for a program hash), never
+    part of an executable's store key."""
     root = pathlib.Path(__file__).resolve().parents[1]
     h = hashlib.sha256()
     for rel in _COMPUTE_PATH:
@@ -108,6 +122,15 @@ def _package_code_hash() -> str:
             h.update(rel.encode())
             h.update(p.read_bytes())
     return h.hexdigest()[:16]
+
+
+def _program_hash(lowered) -> str:
+    """Content hash of a traced program: SHA-256 over the lowered StableHLO
+    text with debug metadata (file/line locs) stripped, so comment/line
+    shifts in source never change the hash — only a real graph change
+    does."""
+    return hashlib.sha256(
+        lowered.as_text(debug_info=False).encode()).hexdigest()[:16]
 
 
 @functools.lru_cache()
@@ -172,12 +195,15 @@ class AotStore:
             self.dir.mkdir(parents=True, exist_ok=True)
         self._code_hash = None
         self.stats = {"hits": 0, "misses": 0, "errors": 0,
-                      "prefetched": 0}
+                      "prefetched": 0, "traces": 0}
         self._loaded: Dict[str, Any] = {}
         self._prefetch_thread = None
+        self._sidecar: Optional[Dict[str, str]] = None
         import threading
         self._claim_lock = threading.Lock()
         self._claims: Dict[str, Any] = {}   # key -> threading.Event
+        # gate for the deferred prefetch wave (see prefetch_async)
+        self.first_edit_done = threading.Event()
 
     @classmethod
     def default(cls) -> "AotStore":
@@ -192,25 +218,95 @@ class AotStore:
                 cls._default = cls(d)
         return cls._default
 
-    def _key(self, name: str, args) -> str:
+    # -- sidecar: (code generation, device, name, avalsig) -> program hash
+
+    def _sidecar_path(self) -> pathlib.Path:
+        return self.dir / "hlokeys.json"
+
+    def _sidecar_load(self) -> Dict[str, str]:
+        if self._sidecar is None:
+            import json
+            try:
+                self._sidecar = json.loads(
+                    self._sidecar_path().read_text())
+            except Exception:
+                self._sidecar = {}
+        return self._sidecar
+
+    def _sidecar_memo_key(self, name: str, sig: str) -> str:
         if self._code_hash is None:
             self._code_hash = _package_code_hash()
             self._gc()
-        raw = f"{self._code_hash}|{_FORMAT_VERSION}|" \
-              f"{_device_fingerprint()}|{name}|{_aval_sig(args)}"
-        # the code hash prefixes the filename so stale generations are
-        # recognizable and collectable
-        return (self._code_hash + "-"
-                + hashlib.sha256(raw.encode()).hexdigest()[:32])
+        return f"{self._code_hash}|{_device_fingerprint()}|{name}|{sig}"
+
+    def _sidecar_put(self, memo_key: str, program_hash: str) -> None:
+        import json
+        with self._claim_lock:
+            side = self._sidecar_load()
+            side[memo_key] = program_hash
+            if self.dir is None:
+                return
+            try:
+                # merge with concurrent writers, drop other generations
+                # (their code changed: re-trace is the point), atomic swap
+                try:
+                    disk = json.loads(self._sidecar_path().read_text())
+                except Exception:
+                    disk = {}
+                disk.update(side)
+                gen = self._code_hash + "|"
+                disk = {k: v for k, v in disk.items()
+                        if k.startswith(gen)}
+                tmp = self.dir / ".hlokeys.tmp"
+                tmp.write_text(json.dumps(disk, indent=0))
+                tmp.replace(self._sidecar_path())
+            except OSError:
+                pass
+
+    def _key(self, name: str, args, lower=None) -> str:
+        """Per-program content key. `lower` is a zero-arg callable
+        returning the jax Lowered program; it runs only when the sidecar
+        has no memoized program hash for (code generation, name, avals) —
+        i.e. once per program per code edit.
+
+        Memo invariant (same one the round-4 scheme relied on): within one
+        code generation, (name, avals) identifies a unique program —
+        wrap() names must bake in every closure config scalar that alters
+        the graph (see the diffuser's name strings), and any graph change
+        implies a compute-path edit, which changes the generation and
+        forces a re-trace."""
+        sig = _aval_sig(args)
+        memo_key = self._sidecar_memo_key(name, sig)
+        ph = self._sidecar_load().get(memo_key)
+        if ph is None:
+            if lower is None:
+                raise KeyError(f"no memoized program hash for {name}")
+            self.stats["traces"] += 1
+            t0 = time.perf_counter()
+            ph = _program_hash(lower())
+            if os.environ.get("DIFFHANDLES_AOT_DEBUG"):
+                print(f"[aot] trace+hash {name}: "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+            self._sidecar_put(memo_key, ph)
+        raw = f"{_FORMAT_VERSION}|{_device_fingerprint()}|{name}|{sig}|{ph}"
+        return "v2-" + hashlib.sha256(raw.encode()).hexdigest()[:32]
 
     def _gc(self):
-        """Delete entries from other code-hash generations: they can never
-        hit again (any compute-path edit invalidates every key) and
-        otherwise accumulate multi-GB garbage."""
+        """Collect entries that cannot or will not hit again: pre-v2 key
+        formats, and v2 entries unused (mtime, touched on load) for longer
+        than DIFFHANDLES_AOT_TTL_DAYS (default 30). Content keys never go
+        stale with the code — only disuse ages them out."""
         if self.dir is None:
             return
+        ttl_days = float(os.environ.get("DIFFHANDLES_AOT_TTL_DAYS", "30"))
+        cutoff = time.time() - ttl_days * 86400.0
         for f in self.dir.glob("*.aot"):
-            if not f.name.startswith(self._code_hash + "-"):
+            stale = not f.name.startswith("v2-")
+            try:
+                stale = stale or f.stat().st_mtime < cutoff
+            except OSError:
+                continue
+            if stale:
                 try:
                     f.unlink()
                 except OSError:
@@ -274,6 +370,10 @@ class AotStore:
                 payload, in_tree, out_tree,
                 execution_devices=exec_devices)
             self.stats["hits"] += 1
+            try:
+                os.utime(path)   # touch: the TTL GC ages by last use
+            except OSError:
+                pass
             if os.environ.get("DIFFHANDLES_AOT_DEBUG"):
                 print(f"[aot] load {key}: "
                       f"{_time.perf_counter() - t0:.1f}s "
@@ -327,7 +427,14 @@ class AotStore:
                 # a different host; CPU (test) runs use the plain jit path +
                 # the persistent compilation cache instead.
                 return jitted(*args)
-            key = self._key(name, args)
+            lowered = []    # memo: at most one trace per call
+
+            def lower():
+                if not lowered:
+                    lowered.append(jitted.lower(*args))
+                return lowered[0]
+
+            key = self._key(name, args, lower=lower)
             compiled = compiled_cache.get(key)
             if compiled is None:
                 # claim-or-wait: reuses the prefetch thread's load (and its
@@ -335,7 +442,7 @@ class AotStore:
                 compiled = self._load_claimed(key)
             if compiled is None:
                 self.stats["misses"] += 1
-                compiled = jitted.lower(*args).compile()
+                compiled = lower().compile()
                 self._save(key, compiled, name=name,
                            arg_avals=_arg_avals(args))
             compiled_cache[key] = compiled
@@ -350,11 +457,11 @@ class AotStore:
 
     def prefetch_async(self, order=("text_apply", "vae_encode",
                                     "ddim_loop", "null_opt", "initial",
-                                    "vae_decode", "guided:",
-                                    "guided_batched"),
+                                    "vae_decode", "guided:"),
+                       defer=("guided_batched",),
                        max_concurrent: int = 2, execute: bool = False):
-        """Deserialize every stored executable of the current code
-        generation in a background thread, in pipeline order, so the
+        """Deserialize every stored executable in a background thread, in
+        pipeline order, so the
         host-side `deserialize_and_load` (~30-100 s for the ~2.9 GB of
         pipeline executables, page-cache dependent) overlaps the jitted
         model init instead of blocking each phase's first call. Loaded
@@ -374,9 +481,15 @@ class AotStore:
         pipeline convoys the device queue and loses more than the upload
         overlap wins.
 
-        `order` entries are name prefixes; "guided:" (single-edit) ranks
-        ahead of "guided_batched" so the first edit's program is resident
-        first.
+        `order` entries are name prefixes. `defer` entries are prefixes of
+        programs the FIRST edit does not need (the batched-editing
+        programs): deserialize on this single-vCPU host moves bytes
+        through the device tunnel at ~20-35 MB/s, so loading the ~500 MB
+        of batched programs before the first edit costs the cold start
+        ~15-25 s for nothing. Deferred entries load only after
+        `first_edit_done.set()` (the pipeline facade signals it at the end
+        of its first transform_foreground) or after a 600 s fallback, so
+        long-running services still warm fully.
         """
         import threading
 
@@ -385,14 +498,14 @@ class AotStore:
         if self._prefetch_thread is not None:
             return self._prefetch_thread
         if self._code_hash is None:
-            # establishing the generation here must also collect stale
-            # generations — _key() only GCs when it is the one to set
-            # _code_hash, and prefetch runs before any wrapped call
+            # establishing the generation here must also run the GC —
+            # _key() only GCs when it is the one to set _code_hash, and
+            # prefetch runs before any wrapped call
             self._code_hash = _package_code_hash()
             self._gc()
 
         records = []
-        for f in sorted(self.dir.glob(f"{self._code_hash}-*.aot")):
+        for f in sorted(self.dir.glob("v2-*.aot")):
             try:
                 with open(f, "rb") as fh:
                     record = pickle.load(fh)
@@ -406,14 +519,20 @@ class AotStore:
             for i, prefix in enumerate(order):
                 if name.startswith(prefix):
                     return i
-            return len(order)
+            for i, prefix in enumerate(defer):
+                if name.startswith(prefix):
+                    return len(order) + i
+            return len(order) + len(defer)
 
-        # only programs named in `order` are prefetched: the store is
-        # repo-level and shared, so entries from other program families
+        # only programs named in `order`/`defer` are prefetched: the store
+        # is repo-level and shared, so entries from other program families
         # (e.g. a one-off script's graphs) would otherwise be uploaded
         # through the ~35 MB/s tunnel ahead of programs the pipeline needs
-        records = [r for r in records if rank(r[1]) < len(order)]
+        n_listed = len(order) + len(defer)
+        records = [r for r in records if rank(r[1]) < n_listed]
         records.sort(key=lambda r: rank(r[1]))
+        deferred = {r[0] for r in records
+                    if any(r[1].startswith(p) for p in defer)}
 
         debug = os.environ.get("DIFFHANDLES_AOT_DEBUG")
         t_origin = time.perf_counter()
@@ -445,6 +564,10 @@ class AotStore:
         def worker():
             execs = []
             for key, name, avals in records:
+                if key in deferred:
+                    # hold until the first edit is served (or the fallback
+                    # elapses) — see the docstring
+                    self.first_edit_done.wait(timeout=600.0)
                 t_load0 = time.perf_counter()
                 compiled = self._load_claimed(key)
                 if compiled is None:

@@ -29,7 +29,7 @@ def test_store_roundtrip(tmp_path, cpu_aot):
     fn2 = store2.wrap("mm", lambda x, y: (x @ y, None))
     out2, _ = fn2(a, a)
     assert store2.stats == {"hits": 1, "misses": 0, "errors": 0,
-                            "prefetched": 0}
+                            "prefetched": 0, "traces": 0}
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
@@ -68,21 +68,77 @@ def test_disabled_on_cpu_by_default(tmp_path, monkeypatch):
     assert store.stats["misses"] == 0
 
 
-def test_gc_prunes_only_stale_generations(tmp_path):
+def test_gc_prunes_old_formats_and_expired_entries(tmp_path):
+    """v2 GC: collect pre-v2 key formats and v2 entries unused past the
+    TTL (mtime, touched on load); keep recently used v2 entries."""
+    import time
+
     from diffusionhandles_tpu.utils.aot import AotStore
 
     store = AotStore(str(tmp_path))
-    key = store._key("x", (np.zeros((2, 2), np.float32),))
-    cur = tmp_path / f"{key}.aot"
+    cur = tmp_path / "v2-0123456789abcdef0123456789abcdef.aot"
     cur.write_bytes(b"current")
-    stale = tmp_path / "deadbeef00000000-abc.aot"
-    stale.write_bytes(b"stale")
-    legacy = tmp_path / "0123456789abcdef0123456789abcdef.aot"
-    legacy.write_bytes(b"legacy-format")
+    old_format = tmp_path / "deadbeef00000000-abc.aot"
+    old_format.write_bytes(b"round4-format")
+    expired = tmp_path / "v2-ffffffffffffffffffffffffffffffff.aot"
+    expired.write_bytes(b"expired")
+    os.utime(expired, (time.time() - 90 * 86400,) * 2)
+    store._code_hash = "t"  # _gc runs after the generation is set
     store._gc()
     assert cur.exists()
-    assert not stale.exists()
-    assert not legacy.exists()
+    assert not old_format.exists()
+    assert not expired.exists()
+
+
+def test_unrelated_source_edit_preserves_hit(tmp_path, cpu_aot,
+                                             monkeypatch):
+    """The round-5 contract: the store key derives from the traced
+    program, so a code edit that does not change a program's graph (here
+    simulated by flipping the whole-package code hash, which is what an
+    edit to ANY compute-path file does) must still HIT — only the sidecar
+    memo re-traces. Round 4's code-hash keys lost all 6 executables to
+    any edit (709 s driver warmup)."""
+    import diffusionhandles_tpu.utils.aot as aot_mod
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 4), jnp.float32)
+
+    monkeypatch.setattr(aot_mod, "_package_code_hash", lambda: "gen-a")
+    store = AotStore(str(tmp_path))
+    out = store.wrap("mm", lambda v: v @ v)(x)
+    assert store.stats["misses"] == 1 and store.stats["traces"] == 1
+
+    # "edit an unrelated file": new code generation, same program graph
+    monkeypatch.setattr(aot_mod, "_package_code_hash", lambda: "gen-b")
+    store2 = AotStore(str(tmp_path))
+    out2 = store2.wrap("mm", lambda v: v @ v)(x)
+    assert store2.stats["hits"] == 1 and store2.stats["misses"] == 0
+    assert store2.stats["traces"] == 1   # re-traced, not recompiled
+    assert len(list(tmp_path.glob("v2-*.aot"))) == 1
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    # a REAL graph change (always accompanied by a new code generation:
+    # changing a program means editing a compute-path file) must MISS and
+    # store a second entry — content keys, not name keys
+    monkeypatch.setattr(aot_mod, "_package_code_hash", lambda: "gen-c")
+    store3 = AotStore(str(tmp_path))
+    store3.wrap("mm", lambda v: v @ v + 1.0)(x)
+    assert store3.stats["misses"] == 1 and store3.stats["traces"] == 1
+    assert len(list(tmp_path.glob("v2-*.aot"))) == 2
+
+
+def test_sidecar_memoizes_tracing(tmp_path, cpu_aot):
+    """Unchanged code in a fresh process must not re-trace: the sidecar
+    JSON memoizes (generation, name, avals) -> program hash."""
+    x = jnp.zeros((3, 3), jnp.float32)
+    store = AotStore(str(tmp_path))
+    store.wrap("mm", lambda v: v + 2.0)(x)
+    assert store.stats["traces"] == 1
+    assert (tmp_path / "hlokeys.json").exists()
+
+    store2 = AotStore(str(tmp_path))
+    store2.wrap("mm", lambda v: v + 2.0)(x)
+    assert store2.stats == {"hits": 1, "misses": 0, "errors": 0,
+                            "prefetched": 0, "traces": 0}
 
 
 def test_save_records_name_and_avals_for_prefetch(tmp_path, cpu_aot):

@@ -82,3 +82,44 @@ def test_erode_cross_matches_scipy():
     ref4 = scipy.ndimage.binary_erosion(m.astype(bool),
                                         iterations=4).astype(np.float32)
     assert np.array_equal(it, ref4)
+
+
+def test_distinct_pairs_stay_far_under_max_corr():
+    """The device path's documented divergence from the host path (lowest
+    cell keys kept vs highest multiplicity, guidance.py) is only reachable
+    with > max_corr DISTINCT (orig-cell, trans-cell) pairs. Pin the
+    unreachability argument with a realistic worst-ish case — full-frame
+    foreground, large rotation — where the distinct-pair count must stay
+    far below the default max_corr=16384 (= 4x the 64^2 orig-cell count;
+    each orig cell warps to ~1 target cell)."""
+    yy, xx = np.meshgrid(np.arange(RES), np.arange(RES), indexing="ij")
+    depth = (2.0 + 0.5 * yy / RES + 0.3 * np.sin(xx / 7.0)).astype(
+        np.float32)[None, None]
+    fg = np.ones((1, 1, RES, RES), np.float32)  # everything is foreground
+    fg[:, :, :2] = 0  # keep a sliver of bg so the path isn't the empty one
+    K = np.array([[1.2, 0, 0], [0, 1.2, 0], [0, 0, 1]], np.float32)
+    _, corr = transform_depth_pc(
+        depth, depth + 0.4, fg, K, rot_angle=35.0,
+        rot_axis=np.array([0.3, 0.9, 0.1]),
+        translation=np.array([0.1, -0.05, 0.12]))
+    corr = np.asarray(corr)
+    assert len(corr) > 0
+    scale = RES // 64
+    keys = ((corr[:, 1] // scale) * 64 + corr[:, 0] // scale) * 64 * 64 \
+        + (corr[:, 3] // scale) * 64 + corr[:, 2] // scale
+    distinct = len(np.unique(keys))
+    # a full-frame 35-degree warp lands at ~1 distinct target cell per
+    # orig cell; max_corr has 4x headroom over the whole orig grid
+    assert distinct < 16384 // 2, distinct
+
+
+def test_int32_key_guard_trips_loudly():
+    """latent_res >= 216 would alias int32 packed keys (L**4 >= 2**31);
+    the device path must refuse instead of corrupting correspondences."""
+    from diffusionhandles_tpu.guidance import process_correspondences_device
+
+    with pytest.raises(ValueError, match="int64"):
+        process_correspondences_device(
+            np.zeros(16, np.int32), np.zeros(16, np.int32),
+            np.ones(16, bool), np.ones((4, 4), bool),
+            np.ones((4, 4), np.float32), img_res=4, latent_res=216)
