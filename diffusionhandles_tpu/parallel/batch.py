@@ -42,15 +42,34 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
                                    guidance_max_step: int,
                                    bg_loss_type: str, fg_patch: int,
                                    bg_patch: int,
-                                   mesh: Optional[jax.sharding.Mesh] = None):
+                                   mesh: Optional[jax.sharding.Mesh] = None,
+                                   remat: Optional[str] = None):
     """Compile a batched guided-denoising runner.
 
     Returns run(unet_params, init_latents [B,..], depth64 [B,..],
     uncond_seq [T,77,D], cond [1,77,D], acts_orig (3x [T,H,W,C]),
     fgw, bgw, pcs (batched)) -> final latents [B, h, w, 4].
+
+    remat: checkpoint policy for the GRAD-path U-Net in this batched
+      program only (e.g. 'dots'). At batch 1 remat measures +18% (the
+      tape fits HBM comfortably, PERFORMANCE.md round-4 negatives), but
+      the BATCHED tape is what OOMs batch 16 — thinning it here can buy
+      larger batches without touching the single-edit path. Defaults to
+      the environment knob DIFFHANDLES_BATCHED_REMAT, else off.
     """
-    unet = diffuser.models.unet          # dense attention (grad path)
-    unet_fast = diffuser.unet_fast       # flash attention (no-grad CFG)
+    import dataclasses
+    import os
+
+    from diffusionhandles_tpu.models.unet import UNet2DCondition
+
+    if remat is None:
+        remat = os.environ.get("DIFFHANDLES_BATCHED_REMAT") or None
+    if remat:
+        unet = UNet2DCondition(dataclasses.replace(
+            diffuser.models.unet.config, remat=remat))
+    else:
+        unet = diffuser.models.unet      # grad path
+    unet_fast = diffuser.unet_fast       # no-grad CFG path
     schedule = diffuser.schedule
     gs = diffuser.conf.guidance_scale
     glr = diffuser.conf.guidance_lr
@@ -193,24 +212,49 @@ def build_batched_guided_inference(diffuser: GuidedStableDiffuser,
     return AotStore.default().wrap(
         f"guided_batched:{gs}:{glr}:{num_optsteps}:{guidance_max_step}:"
         f"{bg_loss_type}:{fg_patch}:{bg_patch}:{diffuser.conf.dtype}:"
-        f"{diffuser.conv_mode_tag}", run_fn)
+        f"{diffuser.conv_mode_tag}:{remat or ''}", run_fn)
 
 
 def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
                null_text_emb, init_noise, activations,
                transforms: List[dict],
-               mesh: Optional[jax.sharding.Mesh] = None) -> np.ndarray:
+               mesh: Optional[jax.sharding.Mesh] = None,
+               chunk: int = 0,
+               return_disparities: bool = False) -> np.ndarray:
     """Run N transforms of one inverted image as ONE batched guided
     denoising (the TPU-native replacement for the reference's serial
     transform loop).
 
     transforms: list of dicts with 'rotation_angle', 'rotation_axis',
       'translation' (photogen transforms.json schema).
+    chunk: when nonzero, process the transforms in fixed-size chunks of
+      this batch size, padding the last chunk by repeating its final
+      transform (padded outputs are discarded). Photogen samples carry
+      1-20 transforms each; without padding every DISTINCT count compiles
+      (and stores, ~400 MB each) its own batched program — the fixed
+      chunk size keeps the whole sweep on ONE compiled program.
+    return_disparities: also return the edited disparities [N, 1, H, W]
+      (what the serial driver path saves per transform).
 
-    Returns edited images [N, 3, H, W] in [0, 1].
+    Returns edited images [N, 3, H, W] in [0, 1] (and disparities).
     """
     from diffusionhandles_tpu.checkpoint import to_nchw, to_nhwc
     from diffusionhandles_tpu.geometry.transform import transform_depth
+
+    if chunk and len(transforms) != chunk:
+        imgs_all, disps_all = [], []
+        for i in range(0, len(transforms), chunk):
+            sub = transforms[i:i + chunk]
+            pad = chunk - len(sub)
+            imgs, disps = edit_batch(
+                handles, depth, prompt, fg_mask, bg_depth, null_text_emb,
+                init_noise, activations, sub + [sub[-1]] * pad, mesh=mesh,
+                return_disparities=True)
+            imgs_all.append(imgs[:len(sub)])
+            disps_all.append(disps[:len(sub)])
+        imgs = np.concatenate(imgs_all)
+        disps = np.concatenate(disps_all)
+        return (imgs, disps) if return_disparities else imgs
 
     d = handles.diffuser
     conf = d.conf
@@ -218,6 +262,7 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
 
     depth64s = []
     pcs = []
+    disparities = []
     for tr in transforms:
         if handles.conf.depth_transform_mode == "pc":
             # device-fused correspondence binning (see pipeline facade)
@@ -250,6 +295,7 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
                 max_corr=conf.max_correspondences, latent_res=d.latent_res)
         depth64s.append(d.init_depth(edited_disparity)[0])
         pcs.append(pc)
+        disparities.append(edited_disparity)
 
     B = len(transforms)
     depth64 = jnp.stack(depth64s)  # [B, 64, 64, 1]
@@ -289,4 +335,9 @@ def edit_batch(handles, depth, prompt: str, fg_mask, bg_depth,
         acts_orig, fgw, bgw, pcs_b)
 
     images = d.decode_latent_image(latents)
-    return np.moveaxis(np.asarray(images), -1, 1)
+    images = np.moveaxis(np.asarray(images), -1, 1)
+    if return_disparities:
+        disps = np.stack([np.asarray(dd).reshape(1, *dd.shape[-2:])
+                          for dd in disparities])
+        return images, disps
+    return images

@@ -76,7 +76,7 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
                            variant: str = "sd2", img_res: int = 512,
                            depth_estimator=None, foreground_remover=None,
                            handles=None, generate_webpage: bool = True,
-                           batched: bool = False):
+                           batched: bool = False, batch_chunk: int = 8):
     """Run the full pipeline over a photogen manifest
     (reference: test_diffusion_handles.py:19-165)."""
     from diffusionhandles_tpu.config import load_config
@@ -168,28 +168,55 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
         # silently vanishing.
         from diffusionhandles_tpu.testset.metrics import psnr, ssim
         rec_chw = np.moveaxis(np.asarray(recon)[0], -1, 0)
+        tr_rows = OrderedDict()
         metrics_acc[sample_name] = {
             "recon_psnr_db": round(float(psnr(img[0], rec_chw)), 3),
             "recon_ssim": round(float(ssim(img[0], rec_chw)), 4),
             "recon_lpips": None,
+            # per-transform rows (the reference's unit of evaluation,
+            # test/test_diffusion_handles.py:127-145). edit-vs-input
+            # PSNR/SSIM document the output against its source image —
+            # an edit SHOULD diverge where the object moved, so these are
+            # evaluation-surface records, not fidelity scores (which need
+            # real checkpoints, BASELINE.md).
+            "transforms": tr_rows,
         }
 
+        def save_edit_outputs(t_name, edited_chw, disp_1hw):
+            save_image(edited_chw, sample_out / f"{t_name}.png")
+            lo, hi = float(disp_1hw.min()), float(disp_1hw.max())
+            save_image(
+                np.repeat((disp_1hw - lo) / max(hi - lo, 1e-9), 3, axis=0),
+                sample_out / f"{t_name}_disparity.png")
+            tr = transforms[t_name]
+            tr_rows[t_name] = {
+                "edit_vs_input_psnr_db": round(
+                    float(psnr(img[0], edited_chw)), 3),
+                "edit_vs_input_ssim": round(
+                    float(ssim(img[0], edited_chw)), 4),
+                "rotation_angle": tr.get("rotation_angle"),
+                "translation": tr.get("translation"),
+            }
+
         if batched:
-            # TPU-native path: all of this sample's transforms denoise as
-            # ONE vmapped batch (parallel/batch.py; no reference
-            # counterpart — the reference loops serially).
+            # TPU-native path: this sample's transforms denoise as
+            # fixed-size vmapped batches (parallel/batch.py; no reference
+            # counterpart — the reference loops serially). The fixed
+            # chunk size keeps the whole sweep on ONE compiled program
+            # regardless of per-sample transform counts.
             from diffusionhandles_tpu.parallel.batch import edit_batch
             names = [t for t in transform_names if t in transforms]
             todo = [t for t in names
                     if not (skip_existing
                             and (sample_out / f"{t}.png").exists())]
             if todo:
-                imgs = edit_batch(
+                imgs, disps = edit_batch(
                     handles, depth, prompt, fg_mask, bg_depth_h,
                     null_text_emb, init_noise, activations,
-                    [transforms[t] for t in todo])
-                for t, img in zip(todo, imgs):
-                    save_image(img, sample_out / f"{t}.png")
+                    [transforms[t] for t in todo], chunk=batch_chunk,
+                    return_disparities=True)
+                for t, edited_chw, disp in zip(todo, imgs, disps):
+                    save_edit_outputs(t, edited_chw, disp)
             continue
 
         for transform_name in transform_names:
@@ -223,11 +250,9 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
                                steps_dir / f"step_{si:03d}_opt.png")
                     save_image(np.moveaxis(img_step[0], -1, 0),
                                steps_dir / f"step_{si:03d}_denoise.png")
-            save_image(edited_img[0], sample_out / f"{transform_name}.png")
-            ed = np.asarray(edited_disparity)[0]
-            lo, hi = ed.min(), ed.max()
-            save_image(np.repeat((ed - lo) / max(hi - lo, 1e-9), 3, axis=0),
-                       sample_out / f"{transform_name}_disparity.png")
+            save_edit_outputs(transform_name,
+                              np.asarray(edited_img)[0],
+                              np.asarray(edited_disparity)[0])
 
     with open(output_dir / test_set_path.name, "w") as f:
         json.dump(dataset_names, f, indent=4)
@@ -246,9 +271,12 @@ def test_diffusion_handles(test_set_path: str, input_dir: str,
             metrics_acc = OrderedDict(sorted(metrics_acc.items()))
         vals_p = [m["recon_psnr_db"] for m in metrics_acc.values()]
         vals_s = [m["recon_ssim"] for m in metrics_acc.values()]
+        num_edits = sum(len(m.get("transforms", {}))
+                        for m in metrics_acc.values())
         artifact = OrderedDict(
             samples=metrics_acc,
             num_samples=len(metrics_acc),
+            num_edits=num_edits,
             mean_recon_psnr_db=round(float(np.mean(vals_p)), 3),
             mean_recon_ssim=round(float(np.mean(vals_s)), 4),
             lpips_note=("LPIPS requires converted VGG16 perceptual "
@@ -282,15 +310,19 @@ def main():
     parser.add_argument("--config_path", default=None)
     parser.add_argument("--variant", default="sd2")
     parser.add_argument("--batched", action="store_true",
-                        help="denoise each sample's transforms as one "
-                             "vmapped batch")
+                        help="denoise each sample's transforms as "
+                             "fixed-size vmapped batches")
+    parser.add_argument("--batch_chunk", type=int, default=8,
+                        help="batch size for --batched (transform lists "
+                             "are padded/chunked to it so ONE compiled "
+                             "program serves every sample)")
     args = parser.parse_args()
     test_diffusion_handles(
         test_set_path=args.test_set_path, input_dir=args.input_dir,
         output_dir=args.output_dir, skip_existing=args.skip_existing,
         cache_input_image_identity=args.cache_input_image_identity,
         config_path=args.config_path, variant=args.variant,
-        batched=args.batched)
+        batched=args.batched, batch_chunk=args.batch_chunk)
 
 
 if __name__ == "__main__":
