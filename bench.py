@@ -146,6 +146,13 @@ def main():
                              "JSON line as batched_edit_s_per_edit")
     args = parser.parse_args()
 
+    if not args.skip_warmup:
+        # Steady-state timing: disable the cold-start routing so the
+        # warmup compiles/loads the hot (taps) programs and the timed runs
+        # measure them. `--skip-warmup` leaves it on — that run IS the
+        # fresh-process first-edit (cold start) measurement.
+        os.environ.setdefault("DIFFHANDLES_COLD_START", "0")
+
     from diffusionhandles_tpu.pipeline import DiffusionHandles
 
     handles = DiffusionHandles(variant=args.variant)

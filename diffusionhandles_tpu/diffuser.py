@@ -268,6 +268,33 @@ class GuidedStableDiffuser(GuidedDiffuser):
         dmax = jnp.max(depth, axis=(1, 2, 3), keepdims=True)
         return 2.0 * (depth - dmin) / (dmax - dmin) - 1.0
 
+    # ------------------------------------------------------------------
+    # AOT program names. The builders below register their compiled
+    # programs in the AOT store under these exact strings; the pipeline
+    # facade uses the same helpers to compose its prefetch order and the
+    # cold-start routing checks (utils/aot.py name_stored/name_loaded),
+    # so the two can never drift apart.
+    # ------------------------------------------------------------------
+
+    def vae_encode_program_name(self) -> str:
+        return (f"vae_encode:{self.models.vae_config.scaling_factor}:"
+                f"{self.conf.dtype}:{self.conv_mode_tag}")
+
+    def vae_decode_program_name(self) -> str:
+        return (f"vae_decode:{self.models.vae_config.scaling_factor}:"
+                f"{self.conf.dtype}:{self.conv_mode_tag}")
+
+    def initial_program_name(self) -> str:
+        return (f"initial:{self.conf.guidance_scale}:{self.conf.dtype}:"
+                f"{self.conf.activation_store_dtype}:{self.conv_mode_tag}")
+
+    def guided_program_name(self, emit_steps: bool) -> str:
+        conf = self.conf
+        return (f"guided:{conf.guidance_scale}:{conf.guidance_lr}:"
+                f"{conf.bg_loss_type}:{conf.fg_patch_size}:"
+                f"{conf.bg_patch_size}:{emit_steps}:{conf.dtype}:"
+                f"{self.conv_mode_tag}")
+
     def encode_prompt(self, prompt: str) -> jnp.ndarray:
         """CLIP-encode a prompt -> [1, 77, D] (jitted + memoized)."""
         if "text_apply" not in self._jit_cache:
@@ -291,8 +318,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
         if "vae_encode" not in self._jit_cache:
             scaling = self.models.vae_config.scaling_factor
             self._jit_cache["vae_encode"] = AotStore.default().wrap(
-                f"vae_encode:{scaling}:{self.conf.dtype}:"
-                f"{self.conv_mode_tag}",
+                self.vae_encode_program_name(),
                 lambda p, img: self.models.vae.apply(
                     p, img * 2.0 - 1.0,
                     method=AutoencoderKL.encode) * scaling)
@@ -305,8 +331,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
         if "vae_decode" not in self._jit_cache:
             scaling = self.models.vae_config.scaling_factor
             self._jit_cache["vae_decode"] = AotStore.default().wrap(
-                f"vae_decode:{scaling}:{self.conf.dtype}:"
-                f"{self.conv_mode_tag}",
+                self.vae_decode_program_name(),
                 lambda p, z: jnp.clip(
                     self.models.vae.apply(
                         p, z / scaling,
@@ -372,9 +397,7 @@ class GuidedStableDiffuser(GuidedDiffuser):
             final_latents, acts = jax.lax.scan(step, init_latents, xs)
             return acts, final_latents
 
-        return AotStore.default().wrap(
-            f"initial:{gs}:{self.conf.dtype}:"
-            f"{self.conf.activation_store_dtype}:{self.conv_mode_tag}", run)
+        return AotStore.default().wrap(self.initial_program_name(), run)
 
     def initial_inference(self, init_latents, depth, uncond_embeddings,
                           prompt: str):
@@ -504,9 +527,14 @@ class GuidedStableDiffuser(GuidedDiffuser):
                 step, init_latents, (idx, uncond_seq, acts_orig, fgw, bgw))
             return latents, steps
 
+        # _build_guided_inference is only ever invoked with this conf's
+        # values (guided_inference passes conf.* through), so the
+        # conf-derived program name is the one this program registers under
+        assert (bg_loss_type, fg_patch, bg_patch) == (
+            self.conf.bg_loss_type, self.conf.fg_patch_size,
+            self.conf.bg_patch_size)
         return AotStore.default().wrap(
-            f"guided:{gs}:{glr}:{bg_loss_type}:{fg_patch}:{bg_patch}:"
-            f"{emit_steps}:{self.conf.dtype}:{self.conv_mode_tag}", run)
+            self.guided_program_name(emit_steps), run)
 
     def guided_inference(self, latents, depth, uncond_embeddings,
                          prompt: str, activations_orig: Sequence,

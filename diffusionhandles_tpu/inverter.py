@@ -9,11 +9,9 @@ Re-designs the reference's StableNullInverter
   the per-timestep Adam loop over the uncond embedding (fresh optimizer,
   lr = 1e-2*(1 - i/100), up to num_inner_steps iterations with the
   loss < epsilon + i*2e-5 early stop) becomes a `lax.while_loop` whose body
-  is one U-Net forward (jax.vjp) with the backward under a lax.cond — the
-  data-dependent early stop stays on device, and the loop's trailing
-  no-step iteration doubles as the reference's post-loop uncond forward
-  (:163-165), keeping one fewer U-Net code instance in the serialized
-  executable (the cold-start payload budget, PERFORMANCE.md "Cold start").
+  is one fused U-Net fwd+bwd via jax.value_and_grad — the data-dependent
+  early stop stays on device. (A masked fixed-trip `scan` variant is
+  value-identical and selectable via config.null_opt_inner_loop.)
 """
 
 from __future__ import annotations
@@ -65,6 +63,27 @@ class StableNullInverter(NullInverter):
         self._jit_cache = {}
 
     # ------------------------------------------------------------------
+    # AOT program names (shared with the pipeline facade's prefetch order
+    # and cold-start routing — see diffuser.py's name helpers).
+
+    def ddim_loop_program_name(self) -> str:
+        return (f"ddim_loop:{self.num_ddim_steps}:{self.model.conf.dtype}:"
+                f"{self.model.conv_mode_tag}")
+
+    def null_opt_program_name(self, num_inner_steps: int = 5,
+                              record: bool = True,
+                              inner_loop: Optional[str] = None) -> str:
+        if inner_loop is None:
+            inner_loop = getattr(self.model.conf, "null_opt_inner_loop",
+                                 "while")
+        name = (f"null_opt:{self.num_ddim_steps}:{num_inner_steps}:"
+                f"{self.guidance_scale}:{self.model.conf.dtype}:"
+                f"{inner_loop}:{self.model.conv_mode_tag}")
+        if record:
+            name += f":rec:{self.model.conf.activation_store_dtype}"
+        return name
+
+    # ------------------------------------------------------------------
 
     def _build_ddim_loop(self):
         model = self.model
@@ -88,8 +107,7 @@ class StableNullInverter(NullInverter):
             # all_latent = [x0] + 50 noised latents (reference :114-121).
             return jnp.concatenate([latent0[None], traj], axis=0)
 
-        return AotStore.default().wrap(
-            f"ddim_loop:{S}:{model.conf.dtype}:{model.conv_mode_tag}", run)
+        return AotStore.default().wrap(self.ddim_loop_program_name(), run)
 
     def _build_null_optimization(self, num_inner_steps: int,
                                  inner_loop: str = "while",
@@ -118,9 +136,8 @@ class StableNullInverter(NullInverter):
             return eps
 
         def eps_to_loss(eps_u, eps_cond, latent_cur, latent_prev, step_idx):
-            """MSE as a function of the uncond eps prediction (tiny graph;
-            the U-Net forward is factored out so its fwd and bwd can be
-            placed separately — see the while-loop restructure below)."""
+            """MSE as a function of the uncond eps prediction
+            (reference: stable_null_inverter.py:152-156)."""
             eps = eps_u + gs * (eps_cond - eps_u)
             latent_prev_rec = ddim_step(schedule, eps, step_idx, latent_cur)
             return jnp.mean((latent_prev_rec - latent_prev) ** 2)
@@ -167,56 +184,6 @@ class StableNullInverter(NullInverter):
                 init = (jnp.int32(0), jnp.float32(jnp.inf), uncond,
                         opt_state0)
 
-                def while_carry_eps():
-                    """While-loop variant that carries eps_u(u_final) OUT of
-                    the loop: each iteration runs the U-Net forward via
-                    jax.vjp, decides from the PREVIOUS loss whether to take
-                    the Adam step (the reference steps at u_j iff j < N and
-                    (j == 0 or loss_{j-1} >= thresh),
-                    stable_null_inverter.py:148-159), and runs the backward
-                    only inside a lax.cond. The loop exits right after its
-                    first no-step iteration, whose forward IS the final CFG
-                    uncond eps — eliminating the separate post-loop U-Net
-                    forward instance. Same step/forward count as the
-                    cond_fn/body_fn pair above, but one fewer U-Net code
-                    instance in the executable: null_opt's serialized
-                    program is the largest cold-start payload, and every
-                    program MB is ~30-50 ms of fresh-process tunnel time
-                    (PERFORMANCE.md "Cold start")."""
-                    def cond2(state):
-                        j, stepped, _, _, _, _ = state
-                        return jnp.logical_or(j == 0, stepped)
-
-                    def body2(state):
-                        j, _, last_loss, u, opt_state, _ = state
-                        eps_u, pullback = jax.vjp(
-                            lambda uu: uncond_eps(unet_params, latent_cur,
-                                                  depth64, uu, step_idx), u)
-                        loss, dl_deps = jax.value_and_grad(eps_to_loss)(
-                            eps_u, eps_cond, latent_cur, latent_prev,
-                            step_idx)
-                        should_step = jnp.logical_and(
-                            j < num_inner_steps,
-                            jnp.logical_or(j == 0, last_loss >= thresh))
-
-                        def do_update(_):
-                            (g,) = pullback(dl_deps)
-                            updates, opt2 = tx.update(g, opt_state, u)
-                            u2 = optax.apply_updates(
-                                u, jax.tree.map(lambda x: lr * x, updates))
-                            return u2, opt2
-
-                        u2, opt2 = jax.lax.cond(
-                            should_step, do_update,
-                            lambda _: (u, opt_state), None)
-                        return (j + 1, should_step, loss, u2, opt2, eps_u)
-
-                    init2 = (jnp.int32(0), jnp.bool_(False),
-                             jnp.float32(jnp.inf), uncond, opt_state0,
-                             jnp.zeros_like(latent_cur))
-                    _, _, _, u_final, _, eps_u_final = jax.lax.while_loop(
-                        cond2, body2, init2)
-                    return u_final, eps_u_final
                 if inner_loop == "scan":
                     # Masked fixed-trip scan: identical VALUES to the
                     # while_loop (post-early-stop iterations are masked to
@@ -248,10 +215,38 @@ class StableNullInverter(NullInverter):
                     eps_u = uncond_eps_fast(unet_params, latent_cur,
                                             depth64, uncond, step_idx)
                 else:
-                    # the restructured while loop's trailing iteration
-                    # already computed eps_u(u_final) — no post-loop U-Net
-                    # forward instance (see while_carry_eps)
-                    uncond, eps_u = while_carry_eps()
+                    # Fused fwd+bwd while body (value_and_grad) + a separate
+                    # post-loop uncond forward. A round-5 restructure tried
+                    # jax.vjp with the backward under a lax.cond (the loop's
+                    # trailing no-step forward doubling as the post-loop
+                    # uncond eps) to drop one U-Net code instance from the
+                    # serialized executable: it saved 115 MB (1016->902) but
+                    # cost +2.1 s warm step1 (8.30 vs 6.18 s measured,
+                    # scripts/probe_nullopt.py) — the vjp tape crossing the
+                    # cond boundary defeats XLA's fwd+bwd fusion. Reverted:
+                    # warm latency is the headline; the cold-start bytes are
+                    # attacked at the conv-mode level instead
+                    # (PERFORMANCE.md "Cold start").
+                    def cond_fn(state):
+                        j, last_loss, _, _ = state
+                        return jnp.logical_and(
+                            j < num_inner_steps,
+                            jnp.logical_or(j == 0, last_loss >= thresh))
+
+                    def body_fn(state):
+                        j, _, u, opt_state = state
+                        loss, g = loss_and_grad(u, unet_params, latent_cur,
+                                                depth64, eps_cond,
+                                                latent_prev, step_idx)
+                        updates, opt_state = tx.update(g, opt_state, u)
+                        u = optax.apply_updates(
+                            u, jax.tree.map(lambda x: lr * x, updates))
+                        return j + 1, loss, u, opt_state
+
+                    _, _, uncond, _ = jax.lax.while_loop(
+                        cond_fn, body_fn, init)
+                    eps_u = uncond_eps_fast(unet_params, latent_cur,
+                                            depth64, uncond, step_idx)
                 eps = eps_u + gs * (eps_cond - eps_u)
                 latent_cur = ddim_step(schedule, eps, step_idx, latent_cur)
                 return (latent_cur, uncond), (uncond, recorded)
@@ -266,10 +261,8 @@ class StableNullInverter(NullInverter):
             return uncond_seq  # [S, 1, 77, D]
 
         return AotStore.default().wrap(
-            f"null_opt:{S}:{num_inner_steps}:{gs}:{model.conf.dtype}:"
-            f"{inner_loop}:{model.conv_mode_tag}"
-            + (f":rec:{model.conf.activation_store_dtype}"
-               if record else ""), run)
+            self.null_opt_program_name(num_inner_steps, record=record,
+                                       inner_loop=inner_loop), run)
 
     # ------------------------------------------------------------------
 

@@ -197,8 +197,10 @@ class AotStore:
         self.stats = {"hits": 0, "misses": 0, "errors": 0,
                       "prefetched": 0, "traces": 0}
         self._loaded: Dict[str, Any] = {}
+        self._loaded_names: set = set()
         self._prefetch_thread = None
         self._sidecar: Optional[Dict[str, str]] = None
+        self._names: Optional[Dict[str, str]] = None
         import threading
         self._claim_lock = threading.Lock()
         self._claims: Dict[str, Any] = {}   # key -> threading.Event
@@ -262,6 +264,89 @@ class AotStore:
                 tmp.replace(self._sidecar_path())
             except OSError:
                 pass
+
+    # -- names index: store key -> program name (names.json). Lets the
+    # prefetch worker and the cold-start routing enumerate what the store
+    # holds WITHOUT pickle-loading multi-hundred-MB records, and lets the
+    # pipeline ask "is <program> stored / already deserialized?" by name.
+
+    def _names_path(self) -> pathlib.Path:
+        return self.dir / "names.json"
+
+    def _names_load(self) -> Dict[str, list]:
+        if self._names is None:
+            import json
+            try:
+                raw = json.loads(self._names_path().read_text())
+                # pre-supersede index entries were bare name strings
+                self._names = {k: (v if isinstance(v, list) else [v, None])
+                               for k, v in raw.items()}
+            except Exception:
+                self._names = {}
+        return self._names
+
+    def _names_put(self, key: str, name: str, sig: str = "") -> None:
+        """Record key -> [name, aval-sig] in names.json. When a NEW key
+        arrives for an existing (name, sig) pair, the old entry is a
+        superseded structure variant of the same program (same name, same
+        argument shapes, different graph) that can never be called again
+        from current code — unlink it so prefetch stops shipping its
+        multi-hundred-MB payload through the tunnel (round 5 watched a
+        dead 902 MB null_opt variant deserialize ahead of the live one).
+        Same-name entries with DIFFERENT avals (e.g. the two vae_decode
+        batch sizes) are distinct programs and are kept."""
+        import json
+        with self._claim_lock:
+            names = self._names_load()
+            names[key] = [name, sig]
+            if self.dir is None:
+                return
+            try:
+                try:
+                    disk = json.loads(self._names_path().read_text())
+                except Exception:
+                    disk = {}
+                for k, v in names.items():
+                    disk[k] = v
+                for k, v in list(disk.items()):
+                    rec_name, rec_sig = (v if isinstance(v, list)
+                                         else [v, None])
+                    superseded = (k != key and rec_name == name
+                                  and sig and rec_sig == sig)
+                    if superseded:
+                        try:
+                            (self.dir / f"{k}.aot").unlink()
+                        except OSError:
+                            pass
+                    if superseded or not (self.dir / f"{k}.aot").exists():
+                        disk.pop(k, None)
+                tmp = self.dir / ".names.tmp"
+                tmp.write_text(json.dumps(disk, indent=0))
+                tmp.replace(self._names_path())
+                self._names = {k: (v if isinstance(v, list) else [v, None])
+                               for k, v in disk.items()}
+            except OSError:
+                pass
+
+    def _mark_loaded(self, name: str) -> None:
+        with self._claim_lock:
+            self._loaded_names.add(name)
+
+    def name_stored(self, prefix: str) -> bool:
+        """True iff the store holds an executable whose program name starts
+        with `prefix` (names-index lookup; legacy entries saved before the
+        index existed are found by the prefetch enumeration instead)."""
+        if self.dir is None:
+            return False
+        return any(v[0].startswith(prefix)
+                   and (self.dir / f"{k}.aot").exists()
+                   for k, v in self._names_load().items())
+
+    def name_loaded(self, prefix: str) -> bool:
+        """True iff a program whose name starts with `prefix` has finished
+        deserializing in THIS process (prefetch worker or a wrap() call)."""
+        with self._claim_lock:
+            return any(n.startswith(prefix) for n in self._loaded_names)
 
     def _key(self, name: str, args, lower=None) -> str:
         """Per-program content key. `lower` is a zero-arg callable
@@ -388,7 +473,7 @@ class AotStore:
             return None
 
     def _save(self, key: str, compiled, name: str = "",
-              arg_avals=None) -> None:
+              arg_avals=None, sig: str = "") -> None:
         if self.dir is None:
             return
         try:
@@ -405,6 +490,7 @@ class AotStore:
                 pickle.dump((payload, in_tree, out_tree, device_ids,
                              name, arg_avals), f)
             tmp.replace(self.dir / f"{key}.aot")
+            self._names_put(key, name, sig=sig)
         except Exception:
             self.stats["errors"] += 1
 
@@ -444,8 +530,10 @@ class AotStore:
                 self.stats["misses"] += 1
                 compiled = lower().compile()
                 self._save(key, compiled, name=name,
-                           arg_avals=_arg_avals(args))
+                           arg_avals=_arg_avals(args),
+                           sig=_aval_sig(args))
             compiled_cache[key] = compiled
+            self._mark_loaded(name)
             return compiled(*args)
 
         call.aot_name = name
@@ -504,14 +592,27 @@ class AotStore:
             self._code_hash = _package_code_hash()
             self._gc()
 
+        # enumerate (key, name, avals) per store entry. The names index
+        # makes this free; entries saved before the index existed (or with
+        # execute=True, which needs the avals for dummy calls) fall back to
+        # pickle-loading the record — a full read of each multi-hundred-MB
+        # file, so the index is the fast path by design.
+        names = self._names_load()
         records = []
         for f in sorted(self.dir.glob("v2-*.aot")):
+            entry = names.get(f.stem)
+            name = entry[0] if entry else None
+            if name is not None and not execute:
+                records.append((f.stem, name, None))
+                continue
             try:
                 with open(f, "rb") as fh:
                     record = pickle.load(fh)
                 if len(record) < 6 or record[5] is None:
                     continue  # old-format entry: no avals to dummy-call
                 records.append((f.stem, record[4], record[5]))
+                if name is None:
+                    self._names_put(f.stem, record[4])  # backfill index
             except Exception:
                 continue
 
@@ -573,6 +674,7 @@ class AotStore:
                 if compiled is None:
                     continue
                 t_load1 = time.perf_counter()
+                self._mark_loaded(name)
                 if not execute:
                     with self._claim_lock:
                         self.stats["prefetched"] += 1

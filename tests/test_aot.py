@@ -117,13 +117,14 @@ def test_unrelated_source_edit_preserves_hit(tmp_path, cpu_aot,
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
     # a REAL graph change (always accompanied by a new code generation:
-    # changing a program means editing a compute-path file) must MISS and
-    # store a second entry — content keys, not name keys
+    # changing a program means editing a compute-path file) must MISS —
+    # content keys, not name keys — and its save SUPERSEDES the old
+    # same-(name, avals) entry so dead variants never ride the prefetch
     monkeypatch.setattr(aot_mod, "_package_code_hash", lambda: "gen-c")
     store3 = AotStore(str(tmp_path))
     store3.wrap("mm", lambda v: v @ v + 1.0)(x)
     assert store3.stats["misses"] == 1 and store3.stats["traces"] == 1
-    assert len(list(tmp_path.glob("v2-*.aot"))) == 2
+    assert len(list(tmp_path.glob("v2-*.aot"))) == 1
 
 
 def test_sidecar_memoizes_tracing(tmp_path, cpu_aot):
@@ -228,3 +229,67 @@ def test_resharding_call_handles_pytree_args(tmp_path, cpu_aot):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(fn(params, x)))
     assert len(puts) == 3  # w, b, x all re-placed (leaf-aligned zip ran)
+
+
+def test_names_index_and_name_queries(tmp_path, cpu_aot):
+    """_save records key->name in names.json; name_stored answers by
+    prefix without loading records; name_loaded flips once a wrap() call
+    has made the program resident in this process."""
+    store = AotStore(str(tmp_path))
+    fn = store.wrap("prog_a:taps", lambda x: x * 2.0)
+    assert not store.name_stored("prog_a")
+    assert not store.name_loaded("prog_a")
+    fn(jnp.ones((4,)))
+    assert store.name_stored("prog_a:taps")
+    assert store.name_stored("prog_a")          # prefix match
+    assert not store.name_stored("prog_a:xla")  # other-variant miss
+    assert store.name_loaded("prog_a:taps")
+    # a FRESH store instance over the same dir sees the index from disk
+    store2 = AotStore(str(tmp_path))
+    assert store2.name_stored("prog_a:taps")
+    assert not store2.name_loaded("prog_a:taps")  # nothing resident yet
+
+
+def test_prefetch_uses_names_index_for_exact_filtering(tmp_path,
+                                                       monkeypatch):
+    """Prefetch only touches programs named in order/defer: a store
+    holding two conv-mode variants must not deserialize the foreign one
+    (round-5: the xla-mode probe watched prefetch ship the 961 MB taps
+    'guided' through the tunnel for nothing)."""
+    import json
+    names = {"v2-aaa": "ddim_loop:50:bfloat16:taps:taps:xla",
+             "v2-bbb": "ddim_loop:50:bfloat16:False:False:xla"}
+    (tmp_path / "names.json").write_text(json.dumps(names))
+    for k in names:
+        (tmp_path / f"{k}.aot").write_bytes(b"not-a-real-record")
+    store = AotStore(str(tmp_path))
+    loaded = []
+    monkeypatch.setattr(store, "_load_claimed",
+                        lambda key: loaded.append(key) or None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    th = store.prefetch_async(
+        order=("ddim_loop:50:bfloat16:False:False:xla",), defer=())
+    th.join(timeout=30)
+    assert loaded == ["v2-bbb"]
+
+
+def test_save_supersedes_same_name_same_sig_entry(tmp_path, cpu_aot,
+                                                  monkeypatch):
+    """A structure change to a program (same name, same arg shapes, new
+    graph) must unlink the old store entry — otherwise prefetch keeps
+    shipping the dead multi-hundred-MB variant through the tunnel."""
+    store = AotStore(str(tmp_path))
+    x = jnp.ones((8,))
+    store.wrap("prog_b:taps", lambda v: v + 1.0)(x)
+    first = {f.name for f in tmp_path.glob("v2-*.aot")}
+    assert len(first) == 1
+    # same name + same avals, different graph -> supersedes
+    monkeypatch.setattr(store, "_sidecar", None)  # drop (name,sig) memo so
+    monkeypatch.setattr(store, "_code_hash", "other-gen")  # it re-traces
+    (tmp_path / "hlokeys.json").unlink(missing_ok=True)
+    store.wrap("prog_b:taps", lambda v: v * 3.0)(x)
+    now = {f.name for f in tmp_path.glob("v2-*.aot")}
+    assert len(now) == 1 and now != first
+    # different avals under the same name -> both kept
+    store.wrap("prog_b:taps", lambda v: v * 3.0)(jnp.ones((16,)))
+    assert len(list(tmp_path.glob("v2-*.aot"))) == 2

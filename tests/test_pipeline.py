@@ -199,3 +199,70 @@ def test_correspondences_processed_at_depth_resolution(handles, sample):
             depth=depth_big, uncond_embeddings=uncond, prompt="x",
             activations_orig=acts, correspondences=corr)
     assert seen["img_res"] == res2
+
+
+# ----------------------------------------------------------------------
+# Cold-start routing (round 5): serve the first edit from the XLA-conv
+# twin while the hot taps programs deserialize (pipeline._stack).
+# ----------------------------------------------------------------------
+
+def test_program_names_match_builder_registrations(handles):
+    """The facade's name helpers and the builders' AotStore.wrap names are
+    the same strings — prefetch order / routing checks can't drift from
+    what the store actually holds."""
+    d, inv = handles.diffuser, handles.inverter
+    d.encode_latent_image(np.zeros((1, handles.img_res, handles.img_res, 3),
+                                   np.float32))
+    assert (d._jit_cache["vae_encode"].aot_name
+            == d.vae_encode_program_name())
+    d.decode_latent_image(np.zeros(
+        (1, d.latent_res, d.latent_res, 4), np.float32))
+    assert (d._jit_cache["vae_decode"].aot_name
+            == d.vae_decode_program_name())
+    assert (inv._build_ddim_loop().aot_name
+            == inv.ddim_loop_program_name())
+    assert (inv._build_null_optimization(5, record=True).aot_name
+            == inv.null_opt_program_name(5, record=True))
+    emit = handles.conf.guided_diffuser.save_denoising_steps
+    runner = d._build_guided_inference(
+        d.conf.bg_loss_type, d.conf.fg_patch_size, d.conf.bg_patch_size,
+        d.conf.num_optsteps, d.conf.guidance_max_step, emit)
+    assert runner.aot_name == d.guided_program_name(emit)
+    assert (d._build_initial_inference().aot_name
+            == d.initial_program_name())
+
+
+def test_cold_start_routing(handles, monkeypatch):
+    """_stack picks the cold twin only while hot programs are not yet
+    resident AND the full cold set is stored; the twin shares parameter
+    arrays with the hot stack."""
+    from diffusionhandles_tpu.utils.aot import AotStore
+    store = AotStore.default()
+    hot = handles._program_names(handles.diffuser, handles.inverter)[1:]
+
+    # routing off (CPU default): always hot
+    assert handles._stack(*hot) == (handles.diffuser, handles.inverter)
+
+    monkeypatch.setattr(handles, "_cold_start", True)
+    # cold set not stored -> hot (on-demand load/compile, never a cold
+    # compile stall)
+    monkeypatch.setattr(handles, "_cold_ok", False)
+    assert handles._stack(*hot) == (handles.diffuser, handles.inverter)
+
+    # cold stored, hot not resident -> cold twin (shared params)
+    monkeypatch.setattr(handles, "_cold_ok", True)
+    cold_d, cold_i = handles._stack(*hot)
+    assert cold_d is not handles.diffuser
+    assert cold_d.models.unet_params is handles.diffuser.models.unet_params
+    assert cold_d.models.unet_config.pallas_conv is False
+    assert cold_i.model is cold_d
+    # the twin's names carry its own conv tag (on TPU the hot tag is
+    # "taps:taps:xla" and every name differs; on this CPU host both
+    # stacks already compile XLA convs, so only the tag equality holds)
+    cold_names = handles._program_names(cold_d, cold_i)[1:]
+    assert all(cold_d.conv_mode_tag in c for c in cold_names
+               if not c.startswith("text_apply"))
+
+    # hot resident -> hot again
+    monkeypatch.setattr(store, "name_loaded", lambda prefix: True)
+    assert handles._stack(*hot) == (handles.diffuser, handles.inverter)
