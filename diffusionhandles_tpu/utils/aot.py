@@ -106,8 +106,16 @@ _COMPUTE_PATH = (
 )
 
 # Bump when the pickled .aot record layout or the key derivation changes.
-# v2: per-program StableHLO content keys (filenames start "v2-").
-_FORMAT_VERSION = 2
+# v2: per-program StableHLO content keys.
+# v3: programs are traced with jax_traceback_in_locations_limit=0 for
+#     hashing — Pallas kernels serialize their Mosaic module INTO the
+#     StableHLO (tpu_custom_call backend_config) with caller source
+#     locations baked in, which as_text(debug_info=False) cannot strip;
+#     with locations on, shifting a LINE in any file on a kernel's call
+#     path changed the hash of every grad program (measured round 5:
+#     guided + null_opt re-missed after pure name-helper edits, ~25 min
+#     of recompiles). Filenames start f"v{_FORMAT_VERSION}-".
+_FORMAT_VERSION = 3
 
 
 def _package_code_hash() -> str:
@@ -374,7 +382,8 @@ class AotStore:
                       f"{time.perf_counter() - t0:.1f}s", flush=True)
             self._sidecar_put(memo_key, ph)
         raw = f"{_FORMAT_VERSION}|{_device_fingerprint()}|{name}|{sig}|{ph}"
-        return "v2-" + hashlib.sha256(raw.encode()).hexdigest()[:32]
+        return (f"v{_FORMAT_VERSION}-"
+                + hashlib.sha256(raw.encode()).hexdigest()[:32])
 
     def _gc(self):
         """Collect entries that cannot or will not hit again: pre-v2 key
@@ -386,7 +395,7 @@ class AotStore:
         ttl_days = float(os.environ.get("DIFFHANDLES_AOT_TTL_DAYS", "30"))
         cutoff = time.time() - ttl_days * 86400.0
         for f in self.dir.glob("*.aot"):
-            stale = not f.name.startswith("v2-")
+            stale = not f.name.startswith(f"v{_FORMAT_VERSION}-")
             try:
                 stale = stale or f.stat().st_mtime < cutoff
             except OSError:
@@ -517,7 +526,20 @@ class AotStore:
 
             def lower():
                 if not lowered:
-                    lowered.append(jitted.lower(*args))
+                    # trace WITHOUT source locations: Pallas kernels bake
+                    # their callers' source locs into the Mosaic payload
+                    # inside the StableHLO (see _FORMAT_VERSION v3 note),
+                    # so a loc-bearing trace hashes differently after ANY
+                    # line shift on a kernel's call path. Not thread-safe
+                    # against a concurrent trace, which never happens
+                    # here (the prefetch thread only deserializes).
+                    prev = jax.config.jax_traceback_in_locations_limit
+                    jax.config.update("jax_traceback_in_locations_limit", 0)
+                    try:
+                        lowered.append(jitted.lower(*args))
+                    finally:
+                        jax.config.update(
+                            "jax_traceback_in_locations_limit", prev)
                 return lowered[0]
 
             key = self._key(name, args, lower=lower)
@@ -599,7 +621,7 @@ class AotStore:
         # file, so the index is the fast path by design.
         names = self._names_load()
         records = []
-        for f in sorted(self.dir.glob("v2-*.aot")):
+        for f in sorted(self.dir.glob(f"v{_FORMAT_VERSION}-*.aot")):
             entry = names.get(f.stem)
             name = entry[0] if entry else None
             if name is not None and not execute:

@@ -76,11 +76,11 @@ def test_gc_prunes_old_formats_and_expired_entries(tmp_path):
     from diffusionhandles_tpu.utils.aot import AotStore
 
     store = AotStore(str(tmp_path))
-    cur = tmp_path / "v2-0123456789abcdef0123456789abcdef.aot"
+    cur = tmp_path / "v3-0123456789abcdef0123456789abcdef.aot"
     cur.write_bytes(b"current")
     old_format = tmp_path / "deadbeef00000000-abc.aot"
     old_format.write_bytes(b"round4-format")
-    expired = tmp_path / "v2-ffffffffffffffffffffffffffffffff.aot"
+    expired = tmp_path / "v3-ffffffffffffffffffffffffffffffff.aot"
     expired.write_bytes(b"expired")
     os.utime(expired, (time.time() - 90 * 86400,) * 2)
     store._code_hash = "t"  # _gc runs after the generation is set
@@ -113,7 +113,7 @@ def test_unrelated_source_edit_preserves_hit(tmp_path, cpu_aot,
     out2 = store2.wrap("mm", lambda v: v @ v)(x)
     assert store2.stats["hits"] == 1 and store2.stats["misses"] == 0
     assert store2.stats["traces"] == 1   # re-traced, not recompiled
-    assert len(list(tmp_path.glob("v2-*.aot"))) == 1
+    assert len(list(tmp_path.glob("v3-*.aot"))) == 1
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
     # a REAL graph change (always accompanied by a new code generation:
@@ -124,7 +124,7 @@ def test_unrelated_source_edit_preserves_hit(tmp_path, cpu_aot,
     store3 = AotStore(str(tmp_path))
     store3.wrap("mm", lambda v: v @ v + 1.0)(x)
     assert store3.stats["misses"] == 1 and store3.stats["traces"] == 1
-    assert len(list(tmp_path.glob("v2-*.aot"))) == 1
+    assert len(list(tmp_path.glob("v3-*.aot"))) == 1
 
 
 def test_sidecar_memoizes_tracing(tmp_path, cpu_aot):
@@ -257,8 +257,8 @@ def test_prefetch_uses_names_index_for_exact_filtering(tmp_path,
     (round-5: the xla-mode probe watched prefetch ship the 961 MB taps
     'guided' through the tunnel for nothing)."""
     import json
-    names = {"v2-aaa": "ddim_loop:50:bfloat16:taps:taps:xla",
-             "v2-bbb": "ddim_loop:50:bfloat16:False:False:xla"}
+    names = {"v3-aaa": "ddim_loop:50:bfloat16:taps:taps:xla",
+             "v3-bbb": "ddim_loop:50:bfloat16:False:False:xla"}
     (tmp_path / "names.json").write_text(json.dumps(names))
     for k in names:
         (tmp_path / f"{k}.aot").write_bytes(b"not-a-real-record")
@@ -270,7 +270,7 @@ def test_prefetch_uses_names_index_for_exact_filtering(tmp_path,
     th = store.prefetch_async(
         order=("ddim_loop:50:bfloat16:False:False:xla",), defer=())
     th.join(timeout=30)
-    assert loaded == ["v2-bbb"]
+    assert loaded == ["v3-bbb"]
 
 
 def test_save_supersedes_same_name_same_sig_entry(tmp_path, cpu_aot,
@@ -281,15 +281,15 @@ def test_save_supersedes_same_name_same_sig_entry(tmp_path, cpu_aot,
     store = AotStore(str(tmp_path))
     x = jnp.ones((8,))
     store.wrap("prog_b:taps", lambda v: v + 1.0)(x)
-    first = {f.name for f in tmp_path.glob("v2-*.aot")}
+    first = {f.name for f in tmp_path.glob("v3-*.aot")}
     assert len(first) == 1
     # same name + same avals, different graph -> supersedes
     monkeypatch.setattr(store, "_sidecar", None)  # drop (name,sig) memo so
     monkeypatch.setattr(store, "_code_hash", "other-gen")  # it re-traces
     (tmp_path / "hlokeys.json").unlink(missing_ok=True)
     store.wrap("prog_b:taps", lambda v: v * 3.0)(x)
-    now = {f.name for f in tmp_path.glob("v2-*.aot")}
+    now = {f.name for f in tmp_path.glob("v3-*.aot")}
     assert len(now) == 1 and now != first
     # different avals under the same name -> both kept
     store.wrap("prog_b:taps", lambda v: v * 3.0)(jnp.ones((16,)))
-    assert len(list(tmp_path.glob("v2-*.aot"))) == 2
+    assert len(list(tmp_path.glob("v3-*.aot"))) == 2
