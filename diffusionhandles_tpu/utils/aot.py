@@ -247,7 +247,13 @@ class AotStore:
         if self._code_hash is None:
             self._code_hash = _package_code_hash()
             self._gc()
-        return f"{self._code_hash}|{_device_fingerprint()}|{name}|{sig}"
+        # _FORMAT_VERSION in the memo key: a change to the HASHING
+        # procedure itself (e.g. v3's loc-free tracing) must invalidate
+        # memoized program hashes, or store keys derived from stale-format
+        # hashes populate entries that can never hit after the next
+        # re-trace
+        return (f"{_FORMAT_VERSION}|{self._code_hash}|"
+                f"{_device_fingerprint()}|{name}|{sig}")
 
     def _sidecar_put(self, memo_key: str, program_hash: str) -> None:
         import json
@@ -264,7 +270,7 @@ class AotStore:
                 except Exception:
                     disk = {}
                 disk.update(side)
-                gen = self._code_hash + "|"
+                gen = f"{_FORMAT_VERSION}|{self._code_hash}|"
                 disk = {k: v for k, v in disk.items()
                         if k.startswith(gen)}
                 tmp = self.dir / ".hlokeys.tmp"
