@@ -695,8 +695,14 @@ class AotStore:
             for key, name, avals in records:
                 if key in deferred:
                     # hold until the first edit is served (or the fallback
-                    # elapses) — see the docstring
-                    self.first_edit_done.wait(timeout=600.0)
+                    # elapses) — see the docstring. On a degraded tunnel a
+                    # cold edit can itself exceed the fallback, and the
+                    # wave then competes with the edit's own uploads
+                    # (measured round 5: a >600 s cold edit regressed
+                    # further once the wave fired) — hence generous and
+                    # env-tunable (DIFFHANDLES_AOT_DEFER_S).
+                    self.first_edit_done.wait(timeout=float(
+                        os.environ.get("DIFFHANDLES_AOT_DEFER_S", "1800")))
                 t_load0 = time.perf_counter()
                 compiled = self._load_claimed(key)
                 if compiled is None:

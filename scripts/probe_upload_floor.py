@@ -38,7 +38,8 @@ def main():
     import pickle
 
     rows = []
-    for f in sorted(store.dir.glob("v2-*.aot"),
+    from diffusionhandles_tpu.utils.aot import _FORMAT_VERSION
+    for f in sorted(store.dir.glob(f"v{_FORMAT_VERSION}-*.aot"),
                     key=lambda p: p.stat().st_size):
         size = f.stat().st_size
         t0 = time.perf_counter()
