@@ -147,11 +147,13 @@ def main():
     args = parser.parse_args()
 
     if not args.skip_warmup:
-        # Steady-state timing: disable the cold-start routing so the
-        # warmup compiles/loads the hot (taps) programs and the timed runs
-        # measure them. `--skip-warmup` leaves it on — that run IS the
-        # fresh-process first-edit (cold start) measurement.
-        os.environ.setdefault("DIFFHANDLES_COLD_START", "0")
+        # Steady-state timing must never route through the XLA-conv cold
+        # twin (dual-mode routing is opt-in via DIFFHANDLES_COLD_START=1;
+        # see pipeline.py): pin it off so the warmup compiles/loads the
+        # hot programs and the timed runs measure them. `--skip-warmup`
+        # respects the environment — that run IS the fresh-process
+        # first-edit (cold start) measurement in whichever mode is set.
+        os.environ["DIFFHANDLES_COLD_START"] = "0"
 
     from diffusionhandles_tpu.pipeline import DiffusionHandles
 

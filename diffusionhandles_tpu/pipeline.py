@@ -52,24 +52,27 @@ class DiffusionHandles:
             guidance_scale=conf.guided_diffuser.guidance_scale)
         self.img_res = self.diffuser.image_res
         # Cold-start strategy (measured round 5, PERFORMANCE.md "Cold
-        # start"): fresh-process latency is bytes-limited — the serialized
-        # executables move at ~15-55 MB/s through the device tunnel — and
-        # a program's bytes depend on its conv mode: the warm-fastest
-        # "taps" U-Net programs serialize ~1.4-1.7x larger than their
-        # XLA-conv twins (ddim_loop 324 vs 191 MB, null_opt 1016 vs 719,
-        # guided 961 vs 632). So when the store already holds the XLA-conv
-        # ("cold") program set, the FIRST edit runs on it (~1.0 s slower
-        # warm-equivalent) while the taps ("hot") set deserializes in a
-        # deferred background wave; later edits route to the hot programs
-        # once they are resident. DIFFHANDLES_COLD_START=0 disables the
-        # cold routing (bench.py sets it for steady-state timing).
+        # start"): a program's serialized bytes depend on its conv mode —
+        # the warm-fastest "taps" U-Net programs serialize ~1.4-1.7x
+        # larger than their XLA-conv twins (ddim_loop 324 vs 191 MB,
+        # null_opt ~1159 vs 719, guided 961 vs 632) — so when the store
+        # holds the XLA-conv ("cold") set, the FIRST edit can run on it
+        # (~1.1 s slower) while the taps ("hot") set deserializes in a
+        # deferred wave, cutting first-edit bytes 2.45 -> 1.69 GB.
+        # OPT-IN (DIFFHANDLES_COLD_START=1): on the round-5 instance the
+        # tunnel's transfer-contention behavior dominated byte count —
+        # same-night fresh-process first edits read 201.5 s on the plain
+        # hot path vs 307 s cold-routed despite the smaller byte load
+        # (PERFORMANCE.md "Round-5 cold start") — so the byte-principled
+        # routing stays available but off until a runtime with stable
+        # transfer bandwidth shows the cut winning.
         import os
         from diffusionhandles_tpu.utils.aot import AotStore
         store = AotStore.default()
         self._cold: Optional[Tuple] = None  # (diffuser, inverter) twin
         self._cold_ok: Optional[bool] = None
         self._cold_start = (
-            os.environ.get("DIFFHANDLES_COLD_START", "1") != "0"
+            os.environ.get("DIFFHANDLES_COLD_START", "0") == "1"
             and getattr(conf.guided_diffuser, "pallas_conv", True)
             and store.dir is not None
             and jax.default_backend() == "tpu")
